@@ -1,0 +1,313 @@
+"""Batched HNSW search: greedy upper-level descent + base-layer beam search.
+
+TPU-native replacement for the reference's per-query traversal
+(`/root/reference/src/include/usearch/index.hpp`: `search_for_one_`
+:3809-3847 greedy descent, `search_to_find_in_base_` :3929-3999 beam).
+Differences forced by (and exploited on) the hardware:
+
+  * Batch-first: a whole [B] batch of queries traverses in lockstep inside
+    one `lax.while_loop`; per-query early exit becomes a `done` mask.
+  * No visited bitset: instead of a per-query hash set, novelty is tested
+    by membership against (candidate pool ∪ expansion history ∪ result
+    pool) — bounded arrays, no scatter. A node evicted from all three can
+    be re-scored, which costs a little wasted work, never correctness.
+  * Two pools, like the reference's next_candidates/top_candidates split:
+    the candidate pool drives traversal and ignores tombstones (deleted
+    nodes still route, matching `index_dense.hpp:1816-1828` semantics);
+    the result pool only admits `valid & filter` nodes.
+
+All loops are fixed-bound with masking; everything jits once per
+(capacity-bucket, batch, k, ef) combination.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vss_tpu.index.graph import HNSWConfig, HNSWGraph
+from vss_tpu.ops.distance import Metric, gathered_distances
+
+__all__ = ["hnsw_search", "greedy_descent"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _gather_vectors(vectors: jax.Array, ids: jax.Array) -> jax.Array:
+    """vectors[ids] with -1-safe clamping. Caller masks distances."""
+    return jnp.take(vectors, jnp.maximum(ids, 0), axis=0)
+
+
+def _descent_step(graph: HNSWGraph, config: HNSWConfig, q, state):
+    """One step of batched greedy descent over upper levels."""
+    lvl, cur, cur_d = state
+    # upper_row column for level `lvl` is lvl-1; only meaningful when lvl>=1.
+    col = jnp.maximum(lvl - 1, 0)
+    row = jnp.take_along_axis(
+        jnp.take(graph.upper_row, cur, axis=0), col[:, None], axis=1
+    )[:, 0]
+    active = (lvl > 0) & (row >= 0)
+    neigh = jnp.take(graph.upper_adj, jnp.maximum(row, 0), axis=0)  # [B, M]
+    neigh = jnp.where(active[:, None], neigh, -1)
+    nd = gathered_distances(
+        q, _gather_vectors(graph.vectors, neigh), config.metric
+    )
+    nd = jnp.where(neigh >= 0, nd, _INF)
+    j = jnp.argmin(nd, axis=1)
+    best_d = jnp.take_along_axis(nd, j[:, None], axis=1)[:, 0]
+    best_i = jnp.take_along_axis(neigh, j[:, None], axis=1)[:, 0]
+    improved = active & (best_d < cur_d)
+    cur = jnp.where(improved, best_i, cur)
+    cur_d = jnp.where(improved, best_d, cur_d)
+    # no improvement (or no row at this level) -> drop a level
+    lvl = jnp.where(improved, lvl, jnp.maximum(lvl - 1, 0))
+    return lvl, cur, cur_d
+
+
+def greedy_descent(
+    graph: HNSWGraph,
+    config: HNSWConfig,
+    q: jax.Array,
+    stop_level: jax.Array | int = 0,
+    max_iters: int = 0,
+):
+    """Descend from the entry point to `stop_level` (per-query or scalar).
+
+    Returns (cur [B] i32, cur_d [B] f32): the best node found at
+    `stop_level + 1`'s granularity — i.e. the beam-search seed.
+    """
+    B = q.shape[0]
+    entry = jnp.maximum(graph.entry, 0)
+    cur = jnp.full((B,), entry, jnp.int32)
+    cur_d = gathered_distances(
+        q, _gather_vectors(graph.vectors, cur[:, None]), config.metric
+    )[:, 0]
+    start = jnp.maximum(graph.max_level, 0)
+    stop = jnp.broadcast_to(jnp.asarray(stop_level, jnp.int32), (B,))
+    lvl = jnp.maximum(jnp.full((B,), start, jnp.int32), stop)
+    if max_iters <= 0:
+        # level drops only on non-improving steps; improving steps are
+        # bounded by path length. 8*levels + 32 is generous.
+        max_iters = 8 * config.max_levels + 32
+
+    def cond(state):
+        i, (lvl, cur, cur_d) = state
+        return (i < max_iters) & jnp.any(lvl > stop)
+
+    def body(state):
+        i, (lvl, cur, cur_d) = state
+        nlvl, ncur, ncur_d = _descent_step(graph, config, q, (lvl, cur, cur_d))
+        # freeze queries that already reached their stop level
+        frozen = lvl <= stop
+        lvl = jnp.where(frozen, lvl, nlvl)
+        cur = jnp.where(frozen, cur, ncur)
+        cur_d = jnp.where(frozen, cur_d, ncur_d)
+        return i + 1, (lvl, cur, cur_d)
+
+    _, (lvl, cur, cur_d) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (lvl, cur, cur_d))
+    )
+    return cur, cur_d
+
+
+def _dedupe_keep_first(ids: jax.Array) -> jax.Array:
+    """Per-row: replace duplicate ids (keeping first occurrence) with -1."""
+    B, C = ids.shape
+    pos = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, C), 1), (B, C)
+    )
+    sorted_ids, sorted_pos = jax.lax.sort_key_val(ids, pos, dimension=1)
+    dup_sorted = jnp.concatenate(
+        [
+            jnp.zeros((B, 1), jnp.bool_),
+            sorted_ids[:, 1:] == sorted_ids[:, :-1],
+        ],
+        axis=1,
+    )
+    # route dup flags back to original positions
+    inv = jnp.argsort(sorted_pos, axis=1)
+    dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
+    return jnp.where(dup, -1, ids)
+
+
+def beam_search_base(
+    graph: HNSWGraph,
+    config: HNSWConfig,
+    q: jax.Array,
+    seeds: jax.Array,
+    seed_d: jax.Array,
+    ef: int,
+    allow: jax.Array,
+    expand: int = 1,
+    max_iters: int = 0,
+    level: int = 0,
+):
+    """Beam search with pool size `ef` from per-query seed nodes.
+
+    allow: bool [cap] — nodes admissible to the RESULT pool (valid & not
+    tombstoned & user predicate). Traversal ignores it.
+
+    When `level > 0` the beam runs over that upper level's adjacency
+    (used by construction to collect per-level candidates).
+
+    Returns (res_d [B, ef] ascending, res_i [B, ef], cand_i [B, ef]):
+    result pool and the raw (unfiltered) candidate pool.
+    """
+    B = q.shape[0]
+    m0 = config.m0 if level == 0 else config.m
+    E = expand
+    if max_iters <= 0:
+        max_iters = 4 + (2 * ef) // E
+    hist_len = max_iters * E
+
+    cand_d = jnp.full((B, ef), _INF).at[:, 0].set(seed_d)
+    cand_i = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(seeds)
+    expanded = jnp.zeros((B, ef), jnp.bool_)
+    seed_ok = jnp.take(allow, jnp.maximum(seeds, 0)) & (seeds >= 0)
+    res_d = jnp.full((B, ef), _INF).at[:, 0].set(jnp.where(seed_ok, seed_d, _INF))
+    res_i = (
+        jnp.full((B, ef), -1, jnp.int32)
+        .at[:, 0]
+        .set(jnp.where(seed_ok, seeds, -1))
+    )
+    hist = jnp.full((B, hist_len), -1, jnp.int32)
+
+    def neighbors_of(ids):  # ids [B, E] -> [B, E*m0]
+        if level == 0:
+            adj = jnp.take(graph.adj0, jnp.maximum(ids, 0), axis=0)
+        else:
+            row = jnp.take(graph.upper_row, jnp.maximum(ids, 0), axis=0)[
+                :, :, level - 1
+            ]
+            adj = jnp.take(graph.upper_adj, jnp.maximum(row, 0), axis=0)
+            adj = jnp.where((row >= 0)[:, :, None], adj, -1)
+        adj = jnp.where((ids >= 0)[:, :, None], adj, -1)
+        return adj.reshape(B, E * m0)
+
+    def done_mask(cand_d, expanded, res_d):
+        unexp = jnp.where(expanded, _INF, cand_d)
+        unexp_min = jnp.min(unexp, axis=1)
+        worst_res = res_d[:, ef - 1]
+        return (unexp_min > worst_res) | ~jnp.isfinite(unexp_min)
+
+    def cond(state):
+        it, cand_d, cand_i, expanded, res_d, res_i, hist = state
+        return (it < max_iters) & ~jnp.all(done_mask(cand_d, expanded, res_d))
+
+    def body(state):
+        it, cand_d, cand_i, expanded, res_d, res_i, hist = state
+        done = done_mask(cand_d, expanded, res_d)
+        # pick E best unexpanded candidates per query
+        key = jnp.where(expanded, _INF, cand_d)
+        key = jnp.where(done[:, None], _INF, key)
+        _, sel_pos = jax.lax.top_k(-key, E)  # [B, E] pool positions
+        sel_key = jnp.take_along_axis(key, sel_pos, axis=1)
+        sel_ids = jnp.where(
+            jnp.isfinite(sel_key),
+            jnp.take_along_axis(cand_i, sel_pos, axis=1),
+            -1,
+        )
+        # mark selected as expanded (one-hot over pool positions)
+        pool_pos = jax.lax.broadcasted_iota(jnp.int32, (B, ef), 1)
+        sel_mask = (pool_pos[:, :, None] == sel_pos[:, None, :]) & jnp.isfinite(
+            sel_key
+        )[:, None, :]
+        expanded = expanded | sel_mask.any(axis=2)
+        hist = jax.lax.dynamic_update_slice(hist, sel_ids, (0, it * E))
+
+        neigh = neighbors_of(sel_ids)  # [B, E*m0]
+        known = jnp.concatenate([cand_i, hist, res_i], axis=1)
+        dup = (neigh[:, :, None] == known[:, None, :]).any(axis=2)
+        neigh = jnp.where(dup | (neigh < 0), -1, neigh)
+        if E > 1:
+            neigh = _dedupe_keep_first(jnp.where(neigh < 0, -1, neigh))
+            # -1 pads collide in dedupe; restore them as -1 (they already are)
+        nd = gathered_distances(
+            q, _gather_vectors(graph.vectors, neigh), config.metric
+        )
+        nd = jnp.where(neigh >= 0, nd, _INF)
+
+        # merge into candidate pool (keep expansion flags aligned)
+        cat_d = jnp.concatenate([cand_d, nd], axis=1)
+        cat_i = jnp.concatenate([cand_i, neigh], axis=1)
+        cat_e = jnp.concatenate(
+            [expanded, jnp.zeros_like(nd, dtype=jnp.bool_)], axis=1
+        )
+        neg_top, pos = jax.lax.top_k(-cat_d, ef)
+        new_cand_d = -neg_top
+        new_cand_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        new_expanded = jnp.take_along_axis(cat_e, pos, axis=1)
+
+        # merge admissible nodes into result pool
+        ok = (neigh >= 0) & jnp.take(allow, jnp.maximum(neigh, 0))
+        rd = jnp.where(ok, nd, _INF)
+        cat_rd = jnp.concatenate([res_d, rd], axis=1)
+        cat_ri = jnp.concatenate([res_i, neigh], axis=1)
+        neg_rtop, rpos = jax.lax.top_k(-cat_rd, ef)
+        new_res_d = -neg_rtop
+        new_res_i = jnp.take_along_axis(cat_ri, rpos, axis=1)
+        new_res_i = jnp.where(jnp.isfinite(new_res_d), new_res_i, -1)
+
+        # frozen queries keep their state
+        keep = done[:, None]
+        cand_d = jnp.where(keep, cand_d, new_cand_d)
+        cand_i = jnp.where(keep, cand_i, new_cand_i)
+        expanded = jnp.where(keep, expanded, new_expanded)
+        res_d = jnp.where(keep, res_d, new_res_d)
+        res_i = jnp.where(keep, res_i, new_res_i)
+        return it + 1, cand_d, cand_i, expanded, res_d, res_i, hist
+
+    state = (jnp.int32(0), cand_d, cand_i, expanded, res_d, res_i, hist)
+    _, cand_d, cand_i, expanded, res_d, res_i, hist = jax.lax.while_loop(
+        cond, body, state
+    )
+    return res_d, res_i, cand_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "k", "ef", "expand", "max_iters")
+)
+def _hnsw_search_impl(graph, config, q, allow, k, ef, expand, max_iters):
+    seeds, seed_d = greedy_descent(graph, config, q)
+    res_d, res_i, _ = beam_search_base(
+        graph, config, q, seeds, seed_d, ef, allow, expand, max_iters
+    )
+    out_d = res_d[:, :k]
+    out_i = res_i[:, :k]
+    # empty graph -> nothing
+    empty = graph.entry < 0
+    out_d = jnp.where(empty, _INF, out_d)
+    out_i = jnp.where(empty, -1, out_i)
+    return out_d, out_i
+
+
+def hnsw_search(
+    graph: HNSWGraph,
+    config: HNSWConfig,
+    q: jax.Array,
+    k: int,
+    ef: Optional[int] = None,
+    filter_mask: Optional[jax.Array] = None,
+    expand: int = 1,
+    max_iters: int = 0,
+):
+    """k-NN search over the graph for a batch of queries.
+
+    q: [B, d]. Returns (dists [B, k] ascending f32, slots [B, k] i32, -1
+    past the end). `ef` defaults to max(config.ef_search, k), matching the
+    reference's per-scan override logic (`hnsw_index.cpp:318-329`).
+    `filter_mask` is an optional bool [cap] row predicate (the analog of
+    usearch's `filtered_search`); tombstoned slots are always excluded from
+    results but still routable.
+    """
+    if ef is None:
+        ef = config.ef_search
+    ef = max(ef, k)
+    allow = graph.valid
+    if filter_mask is not None:
+        allow = allow & filter_mask
+    return _hnsw_search_impl(
+        graph, config, q.astype(jnp.float32), allow, k, ef, expand, max_iters
+    )
