@@ -1,0 +1,77 @@
+"""Batched wave builder: recall vs brute force, determinism, edge cases."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vss_tpu.index import HNSWConfig, hnsw_search
+from vss_tpu.index.build import build_graph_batched
+from vss_tpu.ops import bruteforce_topk
+
+
+def recall(ids, true_ids):
+    hits = sum(
+        len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+        for a, b in zip(ids, true_ids)
+    )
+    return hits / true_ids[true_ids >= 0].size
+
+
+@pytest.mark.parametrize("metric", ["l2sq", "cosine"])
+def test_batched_build_recall(rng, metric):
+    n, d, k = 5000, 32, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = HNSWConfig(dims=d, metric=metric)
+    graph, _ = build_graph_batched(vecs, cfg, wave_size=512)
+    assert int(graph.count) == n
+    q = jnp.asarray(rng.standard_normal((100, d)).astype(np.float32))
+    sd, si = hnsw_search(graph, cfg, q, k=k, ef=64)
+    rows = np.asarray(jnp.take(graph.slot_to_rowid, jnp.maximum(si, 0)))
+    rows = np.where(np.asarray(si) >= 0, rows, -1)
+    bd, bi = bruteforce_topk(q, jnp.asarray(vecs), k, metric)
+    r = recall(rows, np.asarray(bi))
+    assert r >= 0.90, f"{metric} recall {r}"
+
+
+def test_build_deterministic(rng):
+    vecs = rng.standard_normal((600, 16)).astype(np.float32)
+    cfg = HNSWConfig(dims=16)
+    g1, u1 = build_graph_batched(vecs, cfg, wave_size=128, seed=7)
+    g2, u2 = build_graph_batched(vecs, cfg, wave_size=128, seed=7)
+    assert u1 == u2
+    np.testing.assert_array_equal(np.asarray(g1.adj0), np.asarray(g2.adj0))
+    np.testing.assert_array_equal(np.asarray(g1.upper_adj), np.asarray(g2.upper_adj))
+    assert int(g1.entry) == int(g2.entry)
+
+
+def test_build_tiny(rng):
+    vecs = rng.standard_normal((5, 8)).astype(np.float32)
+    cfg = HNSWConfig(dims=8)
+    graph, _ = build_graph_batched(vecs, cfg, wave_size=1024)
+    q = jnp.asarray(vecs[:3])
+    sd, si = hnsw_search(graph, cfg, q, k=1)
+    assert np.asarray(si)[:, 0].tolist() == [0, 1, 2]
+    np.testing.assert_allclose(np.asarray(sd)[:, 0], 0.0, atol=1e-6)
+
+
+def test_build_single_row():
+    vecs = np.ones((1, 4), np.float32)
+    cfg = HNSWConfig(dims=4)
+    graph, _ = build_graph_batched(vecs, cfg)
+    sd, si = hnsw_search(graph, cfg, jnp.ones((1, 4)), k=3)
+    assert np.asarray(si)[0].tolist() == [0, -1, -1]
+
+
+def test_wave_sizes_equivalent_quality(rng):
+    """Different wave sizes need not give identical graphs, but recall must
+    hold across them."""
+    n, d, k = 3000, 24, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = HNSWConfig(dims=d)
+    q = jnp.asarray(rng.standard_normal((50, d)).astype(np.float32))
+    bd, bi = bruteforce_topk(q, jnp.asarray(vecs), k, "l2sq")
+    for wave in (128, 2048):
+        graph, _ = build_graph_batched(vecs, cfg, wave_size=wave)
+        sd, si = hnsw_search(graph, cfg, q, k=k, ef=64)
+        r = recall(np.asarray(si), np.asarray(bi))
+        assert r >= 0.90, f"wave={wave} recall {r}"

@@ -37,8 +37,9 @@ __all__ = ["HNSWConfig", "HNSWGraph", "empty_graph", "grow_graph", "sample_level
 DEFAULT_M = 16
 DEFAULT_EF_CONSTRUCTION = 128
 DEFAULT_EF_SEARCH = 64
-# Levels are ~geometric(1/M); 8 levels covers > 16^8 = 4e9 nodes.
-DEFAULT_MAX_LEVELS = 8
+# Levels are ~geometric(1/M); 6 levels covers 16^6 = 16M nodes. The level
+# loop in the wave builder unrolls statically over this, so keep it tight.
+DEFAULT_MAX_LEVELS = 6
 
 
 @dataclasses.dataclass(frozen=True)
