@@ -1,0 +1,123 @@
+"""CRUD semantics: insert, tombstone delete, slot recycling, compaction.
+Mirrors the reference's hnsw_crud.test / hnsw_insert.test coverage."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vss_tpu.index import HNSWConfig
+from vss_tpu.index.dense import HNSWIndex
+from vss_tpu.ops import bruteforce_topk
+
+
+def recall(ids, true_ids):
+    hits = sum(
+        len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+        for a, b in zip(ids, true_ids)
+    )
+    return hits / true_ids[true_ids >= 0].size
+
+
+@pytest.fixture
+def small_index(rng):
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    cfg = HNSWConfig(dims=16)
+    idx = HNSWIndex.build(vecs, cfg, wave_size=128)
+    return idx, vecs
+
+
+def test_incremental_insert_matches_bulk(rng):
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    cfg = HNSWConfig(dims=16)
+    idx = HNSWIndex(cfg)
+    for s in range(0, 300, 50):
+        idx.insert(vecs[s : s + 50], np.arange(s, s + 50))
+    assert idx.count == 300
+    q = jnp.asarray(rng.standard_normal((20, 16)).astype(np.float32))
+    d, rows = idx.search(q, k=5)
+    bd, bi = bruteforce_topk(q, jnp.asarray(vecs), 5, "l2sq")
+    assert recall(np.asarray(rows), np.asarray(bi)) >= 0.9
+
+
+def test_delete_excludes_rows(small_index, rng):
+    idx, vecs = small_index
+    q = jnp.asarray(vecs[7][None, :])
+    d, rows = idx.search(q, k=1)
+    assert int(np.asarray(rows)[0, 0]) == 7
+    assert idx.delete([7]) == 1
+    assert idx.count == 499
+    d, rows = idx.search(q, k=5)
+    assert 7 not in np.asarray(rows)
+
+
+def test_delete_missing_rowid(small_index):
+    idx, _ = small_index
+    assert idx.delete([999999]) == 0
+
+
+def test_insert_recycles_tombstoned_slots(small_index, rng):
+    idx, vecs = small_index
+    before_next = idx.next_slot
+    idx.delete([1, 2, 3])
+    assert idx.deleted_count == 3
+    nv = rng.standard_normal((3, 16)).astype(np.float32)
+    idx.insert(nv, [1001, 1002, 1003])
+    assert idx.next_slot == before_next  # no new slots claimed
+    assert idx.deleted_count == 0
+    d, rows = idx.search(jnp.asarray(nv), k=1)
+    assert sorted(np.asarray(rows)[:, 0].tolist()) == [1001, 1002, 1003]
+
+
+def test_duplicate_rowid_rejected(small_index, rng):
+    idx, _ = small_index
+    with pytest.raises(ValueError, match="duplicate rowid"):
+        idx.insert(rng.standard_normal((1, 16)).astype(np.float32), [7])
+
+
+def test_compact_removes_tombstones(small_index, rng):
+    idx, vecs = small_index
+    dead = list(range(0, 100))
+    idx.delete(dead)
+    idx.compact()
+    assert idx.deleted_count == 0
+    assert idx.next_slot == 400
+    assert idx.count == 400
+    # correctness post-compact
+    q = jnp.asarray(rng.standard_normal((20, 16)).astype(np.float32))
+    d, rows = idx.search(q, k=5)
+    live = jnp.asarray(vecs[100:])
+    bd, bi = bruteforce_topk(q, live, 5, "l2sq")
+    true_rows = np.asarray(bi) + 100
+    true_rows[np.asarray(bi) < 0] = -1
+    assert recall(np.asarray(rows), true_rows) >= 0.85
+    # deleted rows never reappear
+    assert not set(np.asarray(rows).ravel().tolist()) & set(dead)
+
+
+def test_compact_noop_when_clean(small_index):
+    idx, _ = small_index
+    before = np.asarray(idx.graph.adj0).copy()
+    idx.compact()
+    np.testing.assert_array_equal(np.asarray(idx.graph.adj0), before)
+
+
+def test_capacity_growth(rng):
+    cfg = HNSWConfig(dims=8)
+    idx = HNSWIndex(cfg, capacity=64)
+    vecs = rng.standard_normal((500, 8)).astype(np.float32)
+    idx.insert(vecs, np.arange(500))
+    assert idx.capacity >= 500 + 8
+    d, rows = idx.search(jnp.asarray(vecs[:5]), k=1)
+    assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_stats(small_index):
+    idx, _ = small_index
+    st = idx.stats()
+    assert st["count"] == 500
+    assert st["dimensions"] == 16
+    assert st["connectivity"] == 16
+    assert st["connectivity_base"] == 32
+    assert st["num_levels"] >= 1
+    assert st["levels"][0]["nodes"] == 500
+    assert 0 < st["levels"][0]["edges"] <= st["levels"][0]["max_edges"]

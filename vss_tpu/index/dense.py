@@ -1,0 +1,388 @@
+"""HNSWIndex: the user-facing index object (CRUD + search + stats).
+
+Plays the combined role of the reference's `HNSWIndex : BoundIndex`
+adapter (`/root/reference/src/hnsw/hnsw_index.cpp:151-530`) and the
+`index_dense_gt` wrapper (`src/include/usearch/index_dense.hpp`): owns the
+graph arrays plus the host-side bookkeeping — rowid↔slot maps, the free
+slot ring recycled by inserts (the analog of `free_keys_`,
+`index_dense.hpp:426-433`), upper-row allocation, and the dirty flag that
+gates checkpointing (`hnsw_index.cpp:536-539`).
+
+Deletion is a tombstone: the slot's `valid` bit clears, results exclude
+it, the graph keeps routing through it, and the slot is recycled by the
+next insert — mirroring `index_dense::remove`
+(`index_dense.hpp:1228-1300`). `compact()` rewrites the arrays without
+tombstones (the `PRAGMA hnsw_compact_index` path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vss_tpu.index.build import build_graph_batched, insert_wave, plan_wave_rows
+from vss_tpu.index.graph import (
+    HNSWConfig,
+    HNSWGraph,
+    empty_graph,
+    grow_graph,
+    sample_levels,
+)
+from vss_tpu.index.search import hnsw_search
+from vss_tpu.ops.distance import Metric
+from vss_tpu.utils import round_up
+
+__all__ = ["HNSWIndex"]
+
+_RESERVE = 8  # tail slots reserved (scatter sink + padding headroom)
+
+
+def _wave_bucket(n: int, cap: int = 1024) -> int:
+    """Round a wave size up to a power of two (bounds jit recompiles)."""
+    w = 1
+    while w < n and w < cap:
+        w *= 2
+    return w
+
+
+class HNSWIndex:
+    """A single-shard HNSW index over fixed-dimension float vectors."""
+
+    def __init__(self, config: HNSWConfig, capacity: int = 1024):
+        self.config = config
+        capacity = max(capacity, 64)
+        self.graph: HNSWGraph = empty_graph(config, capacity)
+        self.upper_used = 0
+        self.next_slot = 0  # high-water mark of ever-assigned slots
+        self.free_slots: list[int] = []
+        self.rowid_to_slot: dict[int, int] = {}
+        self.deleted_count = 0
+        self.dirty = False
+        self._insert_seed = 0
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        vectors,
+        config: HNSWConfig,
+        rowids: Optional[np.ndarray] = None,
+        *,
+        seed: int = 0,
+        wave_size: int = 1024,
+        efc: Optional[int] = None,
+        expand: int = 4,
+        progress=None,
+    ) -> "HNSWIndex":
+        """Bulk-build over a full vector set (the CREATE INDEX path)."""
+        vectors = np.asarray(vectors, np.float32)
+        n = vectors.shape[0]
+        idx = cls(config, capacity=64)
+        if n == 0:
+            return idx
+        if rowids is None:
+            rowids = np.arange(n, dtype=np.int64)
+        rowids = np.asarray(rowids)
+        graph, upper_used = build_graph_batched(
+            vectors,
+            config,
+            seed=seed,
+            wave_size=wave_size,
+            rowids=rowids.astype(np.int32),
+            efc=efc,
+            expand=expand,
+            progress=progress,
+        )
+        idx.graph = graph
+        idx.upper_used = upper_used
+        idx.next_slot = n
+        idx.rowid_to_slot = {int(r): i for i, r in enumerate(rowids)}
+        idx._insert_seed = n
+        idx.dirty = True
+        return idx
+
+    # ------------------------------------------------------------- props
+    @property
+    def count(self) -> int:
+        return len(self.rowid_to_slot)
+
+    @property
+    def capacity(self) -> int:
+        return self.graph.capacity
+
+    @property
+    def usable_capacity(self) -> int:
+        return self.graph.capacity - _RESERVE
+
+    @property
+    def dims(self) -> int:
+        return self.config.dims
+
+    @property
+    def metric(self) -> Metric:
+        return Metric.parse(self.config.metric)
+
+    # ------------------------------------------------------------- search
+    def search(
+        self,
+        queries,
+        k: int,
+        ef: Optional[int] = None,
+        filter_mask: Optional[jax.Array] = None,
+        expand: int = 1,
+    ):
+        """k-NN search. Returns (dists [B, k] f32 ascending, rowids [B, k]
+        int64, -1 past the end)."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        d, slots = hnsw_search(
+            self.graph, self.config, q, k, ef=ef, filter_mask=filter_mask,
+            expand=expand,
+        )
+        rows = jnp.where(
+            slots >= 0,
+            jnp.take(self.graph.slot_to_rowid, jnp.maximum(slots, 0)),
+            -1,
+        )
+        return d, rows
+
+    # ------------------------------------------------------------- insert
+    def _ensure_capacity(self, extra_slots: int, extra_upper: int):
+        need = self.next_slot - len(self.free_slots) + extra_slots + _RESERVE
+        new_cap = self.graph.capacity
+        while new_cap < need:
+            new_cap *= 2
+        need_upper = self.upper_used + extra_upper + 1
+        new_upper = self.graph.upper_capacity
+        while new_upper < need_upper:
+            new_upper *= 2
+        if new_cap != self.graph.capacity or new_upper != self.graph.upper_capacity:
+            self.graph = grow_graph(self.graph, self.config, new_cap, new_upper)
+
+    def insert(self, vectors, rowids: Sequence[int]):
+        """Insert vectors with user row ids (the INSERT/Append path).
+        Tombstoned slots are recycled before new slots are claimed."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        rowids = np.asarray(rowids, np.int64)
+        n = vectors.shape[0]
+        if n == 0:
+            return
+        for r in rowids:
+            if int(r) in self.rowid_to_slot:
+                raise ValueError(f"duplicate rowid {int(r)}")
+        levels = sample_levels(n, self.config, seed=self._insert_seed)
+        self._insert_seed += n
+        self._ensure_capacity(n, int(levels.sum()))
+        # assign slots: recycle tombstones first (free ring), then extend
+        slots = np.empty(n, np.int64)
+        reuse = min(len(self.free_slots), n)
+        for i in range(reuse):
+            slots[i] = self.free_slots.pop()
+        if reuse < n:
+            fresh = n - reuse
+            slots[reuse:] = np.arange(self.next_slot, self.next_slot + fresh)
+            self.next_slot += fresh
+        # recycled slots stop being tombstones
+        self.deleted_count -= reuse
+        # waves (bucketed shapes to bound recompilation)
+        pos = 0
+        while pos < n:
+            W = _wave_bucket(n - pos)
+            cnt = min(W, n - pos)
+            wv = np.zeros((W, self.config.dims), np.float32)
+            wv[:cnt] = vectors[pos : pos + cnt]
+            sl = np.zeros(W, np.int32)
+            sl[:cnt] = slots[pos : pos + cnt]
+            # padding rows must scatter to distinct unused slots: point them
+            # at reserved tail slots (never searched, never linked)
+            if cnt < W:
+                sl[cnt:] = self.graph.capacity - _RESERVE + (
+                    np.arange(W - cnt) % (_RESERVE - 1)
+                )
+            lv = np.zeros(W, np.int32)
+            lv[:cnt] = levels[pos : pos + cnt]
+            urows, self.upper_used = plan_wave_rows(
+                lv, self.upper_used, self.config.max_levels
+            )
+            rid = np.full(W, -1, np.int32)
+            rid[:cnt] = rowids[pos : pos + cnt].astype(np.int32)
+            self.graph = insert_wave(
+                self.graph,
+                self.config,
+                jnp.asarray(wv),
+                jnp.asarray(sl),
+                jnp.asarray(lv),
+                jnp.asarray(urows),
+                jnp.asarray(rid),
+                jnp.asarray(np.arange(W) < cnt),
+                self.config.ef_construction,
+                4,
+                min(self.config.m, W),
+            )
+            for i in range(cnt):
+                self.rowid_to_slot[int(rowids[pos + i])] = int(sl[i])
+            pos += cnt
+        self.dirty = True
+
+    # ------------------------------------------------------------- delete
+    def delete(self, rowids: Sequence[int]) -> int:
+        """Tombstone rows. Returns number actually deleted."""
+        slots = []
+        for r in rowids:
+            s = self.rowid_to_slot.pop(int(r), None)
+            if s is not None:
+                slots.append(s)
+        if not slots:
+            return 0
+        sl = jnp.asarray(np.asarray(slots, np.int32))
+        self.graph = dataclasses.replace(
+            self.graph,
+            valid=self.graph.valid.at[sl].set(False),
+            count=self.graph.count - len(slots),
+        )
+        self.free_slots.extend(slots)
+        self.deleted_count += len(slots)
+        self.dirty = True
+        return len(slots)
+
+    # ------------------------------------------------------------- compact
+    def compact(self):
+        """Rewrite the graph without tombstones (PRAGMA hnsw_compact_index).
+
+        Host-side permutation of the int adjacency arrays; the (large)
+        vector tape is permuted on device. Edges into removed slots are
+        dropped."""
+        if self.deleted_count == 0 and not self.free_slots:
+            return
+        cfg = self.config
+        valid = np.asarray(self.graph.valid)
+        levels = np.asarray(self.graph.levels)
+        rowids = np.asarray(self.graph.slot_to_rowid)
+        adj0 = np.asarray(self.graph.adj0)
+        upper_adj = np.asarray(self.graph.upper_adj)
+        upper_row = np.asarray(self.graph.upper_row)
+
+        kept = np.flatnonzero(valid)
+        n_new = kept.size
+        cap = self.graph.capacity
+        slot_map = np.full(cap, -1, np.int64)
+        slot_map[kept] = np.arange(n_new)
+
+        def remap(a):
+            out = np.where(a >= 0, slot_map[np.maximum(a, 0)], -1)
+            return out.astype(np.int32)
+
+        new_adj0 = np.full((cap, cfg.m0), -1, np.int32)
+        new_adj0[:n_new] = _compact_rows(remap(adj0[kept]))
+        # upper rows: reassign compactly in kept order
+        kept_levels = levels[kept]
+        new_upper_used = int(kept_levels.sum())
+        new_upper_cap = self.graph.upper_capacity
+        new_upper_adj = np.full((new_upper_cap, cfg.m), -1, np.int32)
+        new_upper_row = np.full((cap, cfg.max_levels), -1, np.int32)
+        next_row = 0
+        uppers = np.flatnonzero(kept_levels > 0)
+        for i_new in uppers:
+            old = kept[i_new]
+            for l in range(1, int(levels[old]) + 1):
+                src = upper_row[old, l - 1]
+                if src >= 0:
+                    new_upper_adj[next_row] = _compact_rows(
+                        remap(upper_adj[src][None, :])
+                    )[0]
+                new_upper_row[i_new, l - 1] = next_row
+                next_row += 1
+
+        new_levels = np.zeros(cap, np.int32)
+        new_levels[:n_new] = kept_levels
+        new_valid = np.zeros(cap, bool)
+        new_valid[:n_new] = True
+        new_rowids = np.full(cap, -1, np.int32)
+        new_rowids[:n_new] = rowids[kept]
+        # entry: highest-level kept node (first in kept order on ties)
+        if n_new:
+            lv_max = int(kept_levels.max())
+            entry = int(np.flatnonzero(kept_levels == lv_max)[0])
+        else:
+            lv_max, entry = -1, -1
+        perm = jnp.asarray(
+            np.concatenate([kept, np.zeros(cap - n_new, np.int64)]).astype(np.int32)
+        )
+        new_vectors = jnp.take(self.graph.vectors, perm, axis=0)
+        new_vectors = jnp.where(
+            (jnp.arange(cap) < n_new)[:, None], new_vectors, 0.0
+        )
+        self.graph = HNSWGraph(
+            vectors=new_vectors,
+            adj0=jnp.asarray(new_adj0),
+            upper_adj=jnp.asarray(new_upper_adj),
+            upper_row=jnp.asarray(new_upper_row),
+            levels=jnp.asarray(new_levels),
+            valid=jnp.asarray(new_valid),
+            slot_to_rowid=jnp.asarray(new_rowids),
+            entry=jnp.int32(entry),
+            max_level=jnp.int32(lv_max),
+            count=jnp.int32(n_new),
+        )
+        self.upper_used = next_row
+        self.next_slot = n_new
+        self.free_slots = []
+        self.deleted_count = 0
+        self.rowid_to_slot = {int(r): i for i, r in enumerate(rowids[kept])}
+        self.dirty = True
+
+    # ------------------------------------------------------------- stats
+    def stats(self) -> dict:
+        """Per-level stats for pragma_hnsw_index_info
+        (`hnsw_index_pragmas.cpp:41-173` analog)."""
+        valid = np.asarray(self.graph.valid)
+        levels = np.asarray(self.graph.levels)
+        adj0 = np.asarray(self.graph.adj0)
+        upper_row = np.asarray(self.graph.upper_row)
+        upper_adj = np.asarray(self.graph.upper_adj)
+        n_levels = int(levels[valid].max()) + 1 if valid.any() else 0
+        per_level = []
+        for l in range(n_levels):
+            members = np.flatnonzero(valid & (levels >= l))
+            if l == 0:
+                edges = int((adj0[members] >= 0).sum())
+                max_edges = members.size * self.config.m0
+            else:
+                rows = upper_row[members, l - 1]
+                rows = rows[rows >= 0]
+                edges = int((upper_adj[rows] >= 0).sum())
+                max_edges = members.size * self.config.m
+            per_level.append(
+                {"level": l, "nodes": int(members.size), "edges": edges,
+                 "max_edges": max_edges}
+            )
+        bytes_graph = sum(
+            int(np.asarray(getattr(self.graph, f.name)).nbytes)
+            for f in dataclasses.fields(self.graph)
+        )
+        return {
+            "metric": self.metric.value,
+            "dimensions": self.config.dims,
+            "count": self.count,
+            "deleted": self.deleted_count,
+            "capacity": self.usable_capacity,
+            "connectivity": self.config.m,
+            "connectivity_base": self.config.m0,
+            "ef_construction": self.config.ef_construction,
+            "ef_search": self.config.ef_search,
+            "approx_memory_bytes": bytes_graph,
+            "num_levels": n_levels,
+            "levels": per_level,
+        }
+
+
+def _compact_rows(rows: np.ndarray) -> np.ndarray:
+    """Shift -1 holes in adjacency rows to the tail (keep order otherwise)."""
+    order = np.argsort(rows < 0, axis=1, kind="stable")
+    return np.take_along_axis(rows, order, axis=1)

@@ -1,0 +1,139 @@
+"""Index checkpoint serialization.
+
+The TPU-native analog of the reference's stream format
+(`/root/reference/src/include/usearch/index_dense.hpp:811-980` — a fixed
+head struct followed by raw node tapes). Here a checkpoint is:
+
+    magic "VSSTPU01"  (8 bytes)
+    u64 header_len    (little-endian)
+    header JSON       (config, counters, free ring, array table)
+    raw array bytes   (in array-table order, C-contiguous)
+
+Arrays are trimmed to their used extents (next_slot / upper_used) so the
+file size tracks live data, not capacity; load re-pads to a fresh
+capacity. Works against any file-like object so the same format flows
+through plain files or the block store (`vss_tpu.storage.blockfile`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import struct
+from typing import BinaryIO
+
+import jax.numpy as jnp
+import numpy as np
+
+from vss_tpu.index.dense import HNSWIndex, _RESERVE
+from vss_tpu.index.graph import HNSWConfig, HNSWGraph, empty_graph
+from vss_tpu.utils import round_up
+
+__all__ = ["serialize_index", "deserialize_index", "save_index", "load_index"]
+
+MAGIC = b"VSSTPU01"
+
+
+def serialize_index(idx: HNSWIndex, stream: BinaryIO) -> None:
+    g = idx.graph
+    n = idx.next_slot
+    u = idx.upper_used
+    arrays = {
+        "vectors": np.asarray(g.vectors)[:n],
+        "adj0": np.asarray(g.adj0)[:n],
+        "upper_adj": np.asarray(g.upper_adj)[:u],
+        "upper_row": np.asarray(g.upper_row)[:n],
+        "levels": np.asarray(g.levels)[:n],
+        "valid": np.asarray(g.valid)[:n],
+        "slot_to_rowid": np.asarray(g.slot_to_rowid)[:n],
+        "free_slots": np.asarray(idx.free_slots, np.int32),
+    }
+    table = [
+        {"name": k, "dtype": str(v.dtype), "shape": list(v.shape)}
+        for k, v in arrays.items()
+    ]
+    header = {
+        "version": 1,
+        "config": dataclasses.asdict(idx.config),
+        "next_slot": n,
+        "upper_used": u,
+        "entry": int(g.entry),
+        "max_level": int(g.max_level),
+        "count": int(g.count),
+        "deleted_count": idx.deleted_count,
+        "arrays": table,
+    }
+    hbytes = json.dumps(header).encode()
+    stream.write(MAGIC)
+    stream.write(struct.pack("<Q", len(hbytes)))
+    stream.write(hbytes)
+    for v in arrays.values():
+        stream.write(np.ascontiguousarray(v).tobytes())
+
+
+def deserialize_index(stream: BinaryIO) -> HNSWIndex:
+    magic = stream.read(8)
+    if magic != MAGIC:
+        raise ValueError(f"bad checkpoint magic {magic!r}")
+    (hlen,) = struct.unpack("<Q", stream.read(8))
+    header = json.loads(stream.read(hlen).decode())
+    if header["version"] != 1:
+        raise ValueError(f"unsupported checkpoint version {header['version']}")
+    config = HNSWConfig(**header["config"])
+    arrays = {}
+    for spec in header["arrays"]:
+        dt = np.dtype(spec["dtype"])
+        shape = tuple(spec["shape"])
+        nbytes = dt.itemsize * int(np.prod(shape)) if shape else dt.itemsize
+        buf = stream.read(nbytes)
+        if len(buf) != nbytes:
+            raise ValueError("truncated checkpoint")
+        arrays[spec["name"]] = np.frombuffer(buf, dt).reshape(shape).copy()
+
+    n = header["next_slot"]
+    u = header["upper_used"]
+    cap = max(64, round_up(n + _RESERVE, 64))
+    upper_cap = max(64, u + 64 + 1)
+    idx = HNSWIndex(config, capacity=cap)
+    g = empty_graph(config, cap, upper_cap)
+
+    def place(base, data, fill):
+        if data.shape[0] == 0:
+            return base
+        return base.at[: data.shape[0]].set(jnp.asarray(data))
+
+    idx.graph = HNSWGraph(
+        vectors=place(g.vectors, arrays["vectors"], 0.0),
+        adj0=place(g.adj0, arrays["adj0"], -1),
+        upper_adj=place(g.upper_adj, arrays["upper_adj"], -1),
+        upper_row=place(g.upper_row, arrays["upper_row"], -1),
+        levels=place(g.levels, arrays["levels"], 0),
+        valid=place(g.valid, arrays["valid"], False),
+        slot_to_rowid=place(g.slot_to_rowid, arrays["slot_to_rowid"], -1),
+        entry=jnp.int32(header["entry"]),
+        max_level=jnp.int32(header["max_level"]),
+        count=jnp.int32(header["count"]),
+    )
+    idx.next_slot = n
+    idx.upper_used = u
+    idx.free_slots = [int(s) for s in arrays["free_slots"]]
+    idx.deleted_count = header["deleted_count"]
+    valid = arrays["valid"]
+    rowids = arrays["slot_to_rowid"]
+    idx.rowid_to_slot = {
+        int(rowids[s]): int(s) for s in np.flatnonzero(valid)
+    }
+    idx._insert_seed = n
+    idx.dirty = False
+    return idx
+
+
+def save_index(idx: HNSWIndex, path: str) -> None:
+    with open(path, "wb") as f:
+        serialize_index(idx, f)
+    idx.dirty = False
+
+
+def load_index(path: str) -> HNSWIndex:
+    with open(path, "rb") as f:
+        return deserialize_index(f)
