@@ -1,0 +1,146 @@
+"""SQL front end: the reference's SQLLogic test queries expressed verbatim-ish."""
+import numpy as np
+import pytest
+
+from vss_tpu import BinderError, Database
+
+
+@pytest.fixture
+def db():
+    d = Database()
+    d.sql("CREATE TABLE items (id BIGINT, vec FLOAT[3])")
+    # 729-row grid via bulk python insert (SQL VALUES for 729 rows is slow)
+    g = np.stack(
+        np.meshgrid(np.arange(9), np.arange(9), np.arange(9), indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.float32)
+    d.insert("items", {"id": np.arange(729), "vec": g})
+    return d
+
+
+def test_create_index_and_query(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec) WITH (metric = 'l2sq')")
+    res = db.sql(
+        "SELECT id, array_distance(vec, [5.0, 5.0, 5.0]) AS d FROM items "
+        "ORDER BY array_distance(vec, [5.0, 5.0, 5.0]) LIMIT 3"
+    )
+    np.testing.assert_allclose(sorted(res["d"]), [0.0, 1.0, 1.0], atol=1e-6)
+    exp = db.sql(
+        "EXPLAIN SELECT id FROM items ORDER BY array_distance(vec, [5.0,5.0,5.0]) LIMIT 3"
+    )
+    assert "HNSW_INDEX_SCAN" in exp["explain"][0]
+
+
+def test_operator_aliases(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    exp = db.sql("EXPLAIN SELECT id FROM items ORDER BY vec <-> [5.0,5.0,5.0] LIMIT 3")
+    assert "HNSW_INDEX_SCAN" in exp["explain"][0]
+    res = db.sql("SELECT id FROM items ORDER BY vec <-> [5.0,5.0,5.0] LIMIT 1")
+    assert res["id"][0] == 5 * 81 + 5 * 9 + 5
+
+
+def test_min_by_sql(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    exp = db.sql(
+        "EXPLAIN SELECT min_by(id, array_distance(vec, [5.0,5.0,5.0]), 3) FROM items"
+    )
+    assert "HNSW_INDEX_SCAN" in exp["explain"][0]
+    res = db.sql(
+        "SELECT min_by(id, array_distance(vec, [5.0,5.0,5.0]), 3) FROM items"
+    )
+    assert list(res["min_by"][0])[0] == 5 * 81 + 5 * 9 + 5
+
+
+def test_insert_delete_update_sql(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    db.sql("INSERT INTO items VALUES (10000, [20.0, 20.0, 20.0])")
+    res = db.sql(
+        "SELECT id FROM items ORDER BY array_distance(vec, [20.0,20.0,20.0]) LIMIT 1"
+    )
+    assert res["id"][0] == 10000
+    db.sql("DELETE FROM items WHERE id = 10000")
+    res = db.sql(
+        "SELECT id FROM items ORDER BY array_distance(vec, [20.0,20.0,20.0]) LIMIT 1"
+    )
+    assert res["id"][0] != 10000
+    db.sql("UPDATE items SET vec = [30.0, 30.0, 30.0] WHERE id = 7")
+    res = db.sql(
+        "SELECT id FROM items ORDER BY array_distance(vec, [30.0,30.0,30.0]) LIMIT 1"
+    )
+    assert res["id"][0] == 7
+
+
+def test_where_filter_sql(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    res = db.sql(
+        "SELECT id FROM items WHERE id > 100 "
+        "ORDER BY array_distance(vec, [5.0,5.0,5.0]) LIMIT 3"
+    )
+    assert all(res["id"] > 100)
+
+
+def test_pragma_info_and_compact(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
+    assert info["index_name"][0] == "my_idx"
+    assert info["count"][0] == 729
+    db.sql("DELETE FROM items WHERE id < 50")
+    db.sql("PRAGMA hnsw_compact_index('my_idx')")
+    info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
+    assert info["count"][0] == 679
+    assert info["deleted"][0] == 0
+
+
+def test_set_setting_sql(db):
+    db.sql("SET hnsw_ef_search = 200")
+    assert db.settings["hnsw_ef_search"] == 200
+
+
+def test_binder_errors_sql(db):
+    cases = [
+        ("CREATE INDEX i ON items USING HNSW (vec) WITH (metric = 'bogus')",
+         "HNSW index 'metric' must be one of"),
+        ("CREATE INDEX i ON items USING HNSW (vec) WITH (metric = 2)",
+         "HNSW index 'metric' must be a string"),
+        ("CREATE INDEX i ON items USING HNSW (vec) WITH (ef_construction = 'x')",
+         "HNSW index 'ef_construction' must be an integer"),
+        ("CREATE INDEX i ON items USING HNSW (vec) WITH (ef_construction = 0)",
+         "HNSW index 'ef_construction' must be at least 1"),
+        ("CREATE INDEX i ON items USING HNSW (vec) WITH (m = 1)",
+         "HNSW index 'M' must be at least 2"),
+        ("CREATE INDEX i ON items USING HNSW (vec) WITH (bogus = 1)",
+         "Unknown option for HNSW index: 'bogus'"),
+        ("CREATE INDEX i ON items USING BTREE (vec)",
+         "unknown index type"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(BinderError) as e:
+            db.sql(sql)
+        assert msg in str(e.value), (sql, str(e.value))
+
+
+def test_drop_sql(db):
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    db.sql("DROP INDEX my_idx")
+    exp = db.sql(
+        "EXPLAIN SELECT id FROM items ORDER BY array_distance(vec, [5.0,5.0,5.0]) LIMIT 3"
+    )
+    assert "HNSW_INDEX_SCAN" not in exp["explain"][0]
+    db.sql("DROP TABLE items")
+    with pytest.raises(BinderError, match="does not exist"):
+        db.sql("SELECT * FROM items")
+
+
+def test_select_exprs(db):
+    res = db.sql("SELECT id, id * 2 AS double_id FROM items WHERE id < 3 ORDER BY id LIMIT 3")
+    assert res["double_id"].tolist() == [0, 2, 4]
+
+
+def test_checkpoint_sql(db, tmp_path):
+    db.sql("SET hnsw_enable_experimental_persistence = TRUE")
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    db.sql(f"CHECKPOINT '{tmp_path}/db'")
+    db2 = Database.open(f"{tmp_path}/db")
+    res = db2.sql(
+        "SELECT id FROM items ORDER BY array_distance(vec, [5.0,5.0,5.0]) LIMIT 1"
+    )
+    assert res["id"][0] == 5 * 81 + 5 * 9 + 5

@@ -1,0 +1,182 @@
+"""Physical plan execution.
+
+Execution model: a plan runs to a single result chunk (dict of NumPy
+columns). The heavy operators dispatch to the device kernels —
+`HNSW_INDEX_SCAN` runs the batched beam search and then fetches base rows
+by rowid exactly like the reference scan function
+(`/root/reference/src/hnsw/hnsw_index_scan.cpp:95-121`: the index yields
+row-ids only; visible distances are recomputed by projections);
+`BRUTE_FORCE_TOPK` runs the MXU distance tiles; `HNSW_INDEX_JOIN` batches
+all outer rows through one multi-query search (the reference does
+STANDARD_VECTOR_SIZE/k rows per batch, `hnsw_optimize_join.cpp:135` — a
+CPU chunking concern; on TPU the whole outer side is one batch, bucketed
+to bound recompilation).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from vss_tpu.ops.topk import bruteforce_topk
+from vss_tpu.query.functions import resolve_function
+from vss_tpu.query.ir import (
+    BruteForceTopK,
+    Filter,
+    HNSWIndexJoinNode,
+    HNSWIndexScan,
+    KNNJoin,
+    Limit,
+    MinByAgg,
+    PlanNode,
+    Projection,
+    Scan,
+    TopK,
+)
+from vss_tpu.query.table import Database
+
+__all__ = ["run_plan"]
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return max(b, 1)
+
+
+def _search_index(db: Database, index_name: str, queries: np.ndarray, k: int):
+    """Batched index search with ef from the hnsw_ef_search setting
+    (`hnsw_index.cpp:318-329`: per-scan ef = max(setting, index default))."""
+    entry = db.indexes[index_name]
+    setting = int(db.settings.get("hnsw_ef_search") or 0)
+    ef = max(setting, entry.index.config.ef_search, k)
+    B = queries.shape[0]
+    Bp = _bucket(B)
+    qp = np.zeros((Bp, queries.shape[1]), np.float32)
+    qp[:B] = queries
+    d, rows = entry.index.search(qp, k=k, ef=ef)
+    return np.asarray(d)[:B], np.asarray(rows)[:B]
+
+
+def run_plan(db: Database, node: PlanNode) -> dict[str, np.ndarray]:
+    if isinstance(node, Scan):
+        return db.table(node.table).chunk()
+
+    if isinstance(node, Filter):
+        chunk = run_plan(db, node.child)
+        mask = np.asarray(node.predicate.evaluate(chunk), bool)
+        return {c: v[mask] for c, v in chunk.items()}
+
+    if isinstance(node, Projection):
+        chunk = run_plan(db, node.child)
+        return {name: np.asarray(e.evaluate(chunk)) for name, e in node.exprs.items()}
+
+    if isinstance(node, Limit):
+        chunk = run_plan(db, node.child)
+        return {c: v[: node.k] for c, v in chunk.items()}
+
+    if isinstance(node, TopK):
+        chunk = run_plan(db, node.child)
+        keys = np.asarray(node.order.evaluate(chunk), np.float64)
+        order = np.lexsort(
+            (chunk.get("__rowid__", np.arange(len(keys))), keys)
+        )
+        if not node.ascending:
+            order = np.lexsort(
+                (chunk.get("__rowid__", np.arange(len(keys))), -keys)
+            )
+        order = order[: node.k]
+        return {c: v[order] for c, v in chunk.items()}
+
+    if isinstance(node, MinByAgg):
+        chunk = run_plan(db, node.child)
+        keys = np.asarray(node.order.evaluate(chunk), np.float64)
+        order = np.lexsort(
+            (chunk.get("__rowid__", np.arange(len(keys))), keys)
+        )[: node.k]
+        vals = np.asarray(node.value.evaluate(chunk))[order]
+        return {node.output: np.asarray([vals.tolist()], dtype=object)}
+
+    if isinstance(node, HNSWIndexScan):
+        entry = db.indexes[node.index_name]
+        t = db.table(node.table)
+        q = np.asarray(node.query, np.float32)[None, :]
+        _, rows = _search_index(db, node.index_name, q, node.k)
+        rows = rows[0]
+        return t.fetch(rows[rows >= 0])
+
+    if isinstance(node, BruteForceTopK):
+        t = db.table(node.table)
+        vecs, valid = t.device_column(node.column)
+        fdef = resolve_function(node.metric_function)
+        q = jnp.asarray(np.asarray(node.query, np.float32)[None, :])
+        d, slots = bruteforce_topk(
+            q, vecs, node.k, fdef.index_metric, valid_mask=valid
+        )
+        slots = np.asarray(slots)[0]
+        rows = t.rowids[slots[slots >= 0]]
+        return t.fetch(rows)
+
+    if isinstance(node, HNSWIndexJoinNode):
+        left = run_plan(db, node.left)
+        entry = db.indexes[node.index_name]
+        t = db.table(node.table)
+        queries = np.asarray(node.left_vector.evaluate(left), np.float32)
+        if queries.ndim != 2:
+            raise ValueError("knn join left vector must evaluate to [n, d]")
+        nL = queries.shape[0]
+        if nL == 0:
+            out = {f"l_{c}": v[:0] for c, v in left.items()}
+            out.update({f"r_{c}": v[:0] for c, v in t.chunk().items()})
+            out["row_number"] = np.zeros(0, np.int64)
+            return out
+        _, rows = _search_index(db, node.index_name, queries, node.k)
+        # expand: left row i repeated per valid match, with 1-based rank
+        # (the reference emits a row_number column, hnsw_optimize_join.cpp:130)
+        valid = rows >= 0
+        counts = valid.sum(1)
+        left_sel = np.repeat(np.arange(nL), counts)
+        flat_rows = rows[valid]
+        ranks = np.concatenate([np.arange(1, c + 1) for c in counts]) if nL else []
+        out = {f"l_{c}": v[left_sel] for c, v in left.items()}
+        inner = t.fetch(flat_rows)
+        for c, v in inner.items():
+            out[f"r_{c}"] = v
+        out["row_number"] = np.asarray(ranks, np.int64)
+        return out
+
+    if isinstance(node, KNNJoin):
+        # brute-force fallback join (no usable index)
+        left = run_plan(db, node.left)
+        t = db.table(node.right_table)
+        queries = np.asarray(node.left_vector.evaluate(left), np.float32)
+        vecs, valid = t.device_column(node.right_column)
+        fdef = resolve_function(node.metric_function)
+        nL = queries.shape[0]
+        if nL == 0:
+            out = {f"l_{c}": v[:0] for c, v in left.items()}
+            out.update({f"r_{c}": v[:0] for c, v in t.chunk().items()})
+            out["row_number"] = np.zeros(0, np.int64)
+            return out
+        Bp = _bucket(nL)
+        qp = np.zeros((Bp, queries.shape[1]), np.float32)
+        qp[:nL] = queries
+        d, slots = bruteforce_topk(
+            jnp.asarray(qp), vecs, node.k, fdef.index_metric, valid_mask=valid
+        )
+        slots = np.asarray(slots)[:nL]
+        valid_m = slots >= 0
+        counts = valid_m.sum(1)
+        left_sel = np.repeat(np.arange(nL), counts)
+        flat_slots = slots[valid_m]
+        rows = t.rowids[flat_slots]
+        ranks = np.concatenate([np.arange(1, c + 1) for c in counts]) if nL else []
+        out = {f"l_{c}": v[left_sel] for c, v in left.items()}
+        inner = t.fetch(rows)
+        for c, v in inner.items():
+            out[f"r_{c}"] = v
+        out["row_number"] = np.asarray(ranks, np.int64)
+        return out
+
+    raise NotImplementedError(f"cannot execute {type(node).__name__}")

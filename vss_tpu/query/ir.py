@@ -1,0 +1,285 @@
+"""Logical plan IR + expression trees.
+
+A compact stand-in for the slice of DuckDB's logical algebra the reference
+extension operates on: scans, filters, projections, top-N, the `min_by`
+top-k aggregate, and the lateral k-NN join. The optimizer rules in
+`vss_tpu.query.rewrite` pattern-match these nodes exactly the way the
+reference's `OptimizerExtension`s match DuckDB plans
+(`/root/reference/src/hnsw/hnsw_optimize_{expr,scan,topk,join}.cpp`).
+
+Expressions evaluate with NumPy on host-resident column chunks; vector
+math heavy enough to matter (distance + top-k) never goes through this
+interpreter — the optimizers rewrite it onto the index / the MXU
+brute-force kernels first.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from vss_tpu.query.functions import resolve_function
+
+__all__ = [
+    "Expr", "ColumnRef", "Const", "Func", "BinOp", "Not",
+    "PlanNode", "Scan", "Filter", "Projection", "TopK", "Limit",
+    "MinByAgg", "KNNJoin", "HNSWIndexScan", "HNSWIndexJoinNode", "BruteForceTopK",
+]
+
+
+# --------------------------------------------------------------- expressions
+class Expr:
+    def evaluate(self, chunk: dict[str, np.ndarray]) -> np.ndarray:
+        raise NotImplementedError
+
+    def children(self) -> Sequence["Expr"]:
+        return ()
+
+
+@dataclasses.dataclass
+class ColumnRef(Expr):
+    name: str
+
+    def evaluate(self, chunk):
+        return chunk[self.name]
+
+    def __str__(self):
+        return self.name
+
+
+@dataclasses.dataclass
+class Const(Expr):
+    value: Any
+
+    def evaluate(self, chunk):
+        n = len(next(iter(chunk.values()))) if chunk else 1
+        v = np.asarray(self.value)
+        if v.ndim >= 1:  # vector constant: broadcast over rows
+            return np.broadcast_to(v, (n,) + v.shape)
+        return np.full(n, v)
+
+    def __str__(self):
+        v = np.asarray(self.value)
+        return f"[{v.size}-vec]" if v.ndim >= 1 else repr(self.value)
+
+
+@dataclasses.dataclass
+class Func(Expr):
+    name: str
+    args: list[Expr]
+
+    def evaluate(self, chunk):
+        f = resolve_function(self.name)
+        vals = [a.evaluate(chunk) for a in self.args]
+        return f.fn(*vals)
+
+    def children(self):
+        return self.args
+
+    def __str__(self):
+        return f"{self.name}({', '.join(map(str, self.args))})"
+
+
+_BINOPS = {
+    "+": np.add, "-": np.subtract, "*": np.multiply, "/": np.divide,
+    "<": np.less, "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+    "=": np.equal, "==": np.equal, "!=": np.not_equal,
+    "and": np.logical_and, "or": np.logical_or,
+}
+
+
+@dataclasses.dataclass
+class BinOp(Expr):
+    op: str
+    left: Expr
+    right: Expr
+
+    def evaluate(self, chunk):
+        return _BINOPS[self.op](self.left.evaluate(chunk), self.right.evaluate(chunk))
+
+    def children(self):
+        return (self.left, self.right)
+
+    def __str__(self):
+        return f"({self.left} {self.op} {self.right})"
+
+
+@dataclasses.dataclass
+class Not(Expr):
+    child: Expr
+
+    def evaluate(self, chunk):
+        return np.logical_not(self.child.evaluate(chunk))
+
+    def children(self):
+        return (self.child,)
+
+    def __str__(self):
+        return f"(not {self.child})"
+
+
+# --------------------------------------------------------------- logical plan
+class PlanNode:
+    def children(self) -> Sequence["PlanNode"]:
+        return ()
+
+    def label(self) -> str:
+        return type(self).__name__
+
+
+@dataclasses.dataclass
+class Scan(PlanNode):
+    table: str
+
+    def label(self):
+        return f"SEQ_SCAN({self.table})"
+
+
+@dataclasses.dataclass
+class Filter(PlanNode):
+    child: PlanNode
+    predicate: Expr
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"FILTER({self.predicate})"
+
+
+@dataclasses.dataclass
+class Projection(PlanNode):
+    child: PlanNode
+    exprs: dict[str, Expr]  # output name -> expression
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"PROJECTION({', '.join(self.exprs)})"
+
+
+@dataclasses.dataclass
+class TopK(PlanNode):
+    """ORDER BY <order> ASC/DESC LIMIT k."""
+
+    child: PlanNode
+    order: Expr
+    k: int
+    ascending: bool = True
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"TOP_N(k={self.k}, {'ASC' if self.ascending else 'DESC'} {self.order})"
+
+
+@dataclasses.dataclass
+class Limit(PlanNode):
+    child: PlanNode
+    k: int
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"LIMIT({self.k})"
+
+
+@dataclasses.dataclass
+class MinByAgg(PlanNode):
+    """SELECT min_by(value, order, k) — the reference's TopK aggregate
+    (`hnsw_optimize_topk.cpp:54-58`). Produces one row holding a list."""
+
+    child: PlanNode
+    value: Expr
+    order: Expr
+    k: int
+    output: str = "min_by"
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"AGG(min_by({self.value}, {self.order}, {self.k}))"
+
+
+@dataclasses.dataclass
+class KNNJoin(PlanNode):
+    """For each left row, the k nearest right rows — the logical form of the
+    reference's LATERAL (... ORDER BY dist LIMIT k) shape
+    (`hnsw_optimize_join.cpp:352-433`)."""
+
+    left: PlanNode
+    right_table: str
+    left_vector: Expr  # evaluated against left rows -> [n, d]
+    right_column: str
+    k: int
+    metric_function: str = "array_distance"
+
+    def children(self):
+        return (self.left,)
+
+    def label(self):
+        return (
+            f"KNN_JOIN({self.right_table}.{self.right_column}, k={self.k}, "
+            f"{self.metric_function})"
+        )
+
+
+# ------------------------------------------------------- physical-ish nodes
+@dataclasses.dataclass
+class HNSWIndexScan(PlanNode):
+    """Index scan substituted by the optimizer (HNSW_INDEX_SCAN analog,
+    `src/hnsw/hnsw_index_scan.cpp`)."""
+
+    table: str
+    index_name: str
+    query: np.ndarray
+    k: int
+
+    def label(self):
+        return f"HNSW_INDEX_SCAN({self.table}, {self.index_name}, k={self.k})"
+
+
+@dataclasses.dataclass
+class HNSWIndexJoinNode(PlanNode):
+    """Index-accelerated k-NN join (PhysicalHNSWIndexJoin analog)."""
+
+    left: PlanNode
+    table: str
+    index_name: str
+    left_vector: Expr
+    k: int
+
+    def children(self):
+        return (self.left,)
+
+    def label(self):
+        return f"HNSW_INDEX_JOIN({self.table}, {self.index_name}, k={self.k})"
+
+
+@dataclasses.dataclass
+class BruteForceTopK(PlanNode):
+    """Exact fallback scan: MXU distance tiles + chunked top-k."""
+
+    table: str
+    column: str
+    query: np.ndarray
+    k: int
+    metric_function: str
+
+    def label(self):
+        return (
+            f"BRUTE_FORCE_TOPK({self.table}.{self.column}, k={self.k}, "
+            f"{self.metric_function})"
+        )
+
+
+def format_plan(node: PlanNode, indent: int = 0) -> str:
+    lines = ["  " * indent + node.label()]
+    for c in node.children():
+        lines.append(format_plan(c, indent + 1))
+    return "\n".join(lines)

@@ -1,0 +1,538 @@
+"""A small SQL front end lowering to the plan IR.
+
+The reference is driven entirely through SQL (SURVEY §1 L0); this module
+provides the equivalent surface for the statements its test-suite uses:
+
+    CREATE TABLE t (id BIGINT, vec FLOAT[3]);
+    INSERT INTO t VALUES (1, [1.0, 2.0, 3.0]), ...;
+    CREATE INDEX idx ON t USING HNSW (vec) WITH (metric = 'l2sq', m = 16);
+    SELECT id FROM t ORDER BY array_distance(vec, [...]) LIMIT 3;
+    SELECT min_by(id, array_distance(vec, [...]), 3) FROM t;
+    SELECT * FROM pragma_hnsw_index_info();
+    PRAGMA hnsw_compact_index('idx');
+    SET hnsw_ef_search = 128;
+    EXPLAIN SELECT ...;
+    DELETE FROM t WHERE ...;  UPDATE t SET ... WHERE ...;
+    DROP TABLE t;  DROP INDEX idx;  CHECKPOINT 'path';
+
+Recursive-descent parser; expressions lower to `vss_tpu.query.ir`.
+Option validation is delegated to `Database.create_hnsw_index`, with
+value-type checks here mirroring the reference binder errors
+(`hnsw_index_plan.cpp:33-80`).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import numpy as np
+
+from vss_tpu.query.ir import (
+    BinOp,
+    ColumnRef,
+    Const,
+    Expr,
+    Filter,
+    Func,
+    Limit,
+    MinByAgg,
+    Not,
+    PlanNode,
+    Projection,
+    Scan,
+    TopK,
+    format_plan,
+)
+from vss_tpu.query.table import BinderError, Database
+
+__all__ = ["execute_sql", "parse_statement"]
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<num>-?\d+\.\d*(?:[eE][+-]?\d+)?|-?\.\d+(?:[eE][+-]?\d+)?|-?\d+(?:[eE][+-]?\d+)?)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><=>|<->|<\#>|<=|>=|!=|==|\(|\)|\[|\]|,|;|\*|=|<|>|\+|-|/|\.)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise BinderError(f"cannot tokenize SQL at: {text[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("num", "str", "id", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    # -------------------------------------------------------- token utils
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> Optional[str]:
+        kind, v = self.peek()
+        if kind == "id" and v.upper() in kws:
+            self.next()
+            return v.upper()
+        return None
+
+    def expect_kw(self, kw: str):
+        if not self.accept_kw(kw):
+            raise BinderError(f"expected {kw} near {self.peek()[1]!r}")
+
+    def accept_op(self, op: str) -> bool:
+        kind, v = self.peek()
+        if kind == "op" and v == op:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.accept_op(op):
+            raise BinderError(f"expected '{op}' near {self.peek()[1]!r}")
+
+    def ident(self) -> str:
+        kind, v = self.next()
+        if kind != "id":
+            raise BinderError(f"expected identifier, got {v!r}")
+        return v
+
+    # -------------------------------------------------------- expressions
+    def expr(self) -> Expr:
+        return self._or()
+
+    def _or(self) -> Expr:
+        e = self._and()
+        while self.accept_kw("OR"):
+            e = BinOp("or", e, self._and())
+        return e
+
+    def _and(self) -> Expr:
+        e = self._not()
+        while self.accept_kw("AND"):
+            e = BinOp("and", e, self._not())
+        return e
+
+    def _not(self) -> Expr:
+        if self.accept_kw("NOT"):
+            return Not(self._not())
+        return self._cmp()
+
+    def _cmp(self) -> Expr:
+        e = self._add()
+        kind, v = self.peek()
+        if kind == "op" and v in ("<", "<=", ">", ">=", "=", "==", "!="):
+            self.next()
+            return BinOp(v, e, self._add())
+        # vector distance operator aliases: a <-> b, a <=> b, a <#> b
+        if kind == "op" and v in ("<->", "<=>", "<#>"):
+            self.next()
+            return Func(v, [e, self._add()])
+        return e
+
+    def _add(self) -> Expr:
+        e = self._mul()
+        while True:
+            kind, v = self.peek()
+            if kind == "op" and v in ("+", "-"):
+                self.next()
+                e = BinOp(v, e, self._mul())
+            else:
+                return e
+
+    def _mul(self) -> Expr:
+        e = self._primary()
+        while True:
+            kind, v = self.peek()
+            if kind == "op" and v in ("*", "/"):
+                self.next()
+                e = BinOp(v, e, self._primary())
+            else:
+                return e
+
+    def _primary(self) -> Expr:
+        kind, v = self.peek()
+        if kind == "num":
+            self.next()
+            num = float(v)
+            if re.fullmatch(r"-?\d+", v):
+                return Const(int(v))
+            return Const(num)
+        if kind == "str":
+            self.next()
+            return Const(v[1:-1].replace("''", "'"))
+        if kind == "op" and v == "[":
+            return Const(self._array_literal())
+        if kind == "op" and v == "(":
+            self.next()
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        if kind == "id":
+            name = self.next()[1]
+            if self.accept_op("("):
+                args = []
+                if not self.accept_op(")"):
+                    args.append(self.expr())
+                    while self.accept_op(","):
+                        args.append(self.expr())
+                    self.expect_op(")")
+                return Func(name.lower(), args)
+            return ColumnRef(name)
+        raise BinderError(f"unexpected token {v!r} in expression")
+
+    def _array_literal(self) -> np.ndarray:
+        self.expect_op("[")
+        vals = []
+        if not self.accept_op("]"):
+            while True:
+                kind, v = self.next()
+                if kind != "num":
+                    raise BinderError("array literals must contain numbers")
+                vals.append(float(v))
+                if self.accept_op("]"):
+                    break
+                self.expect_op(",")
+        return np.asarray(vals, np.float32)
+
+    def _literal(self) -> Any:
+        kind, v = self.peek()
+        if kind == "op" and v == "[":
+            return self._array_literal()
+        kind, v = self.next()
+        if kind == "num":
+            return int(v) if re.fullmatch(r"-?\d+", v) else float(v)
+        if kind == "str":
+            return v[1:-1].replace("''", "'")
+        if kind == "id" and v.upper() in ("TRUE", "FALSE"):
+            return v.upper() == "TRUE"
+        if kind == "id" and v.upper() == "NULL":
+            return None
+        raise BinderError(f"expected literal, got {v!r}")
+
+
+# ----------------------------------------------------------------- SELECT
+def _parse_select(p: _Parser, db: Database) -> PlanNode:
+    p.expect_kw("SELECT")
+    items: list[tuple[Optional[str], Optional[Expr]]] = []  # (alias, expr|None=*)
+    while True:
+        if p.accept_op("*"):
+            items.append((None, None))
+        else:
+            e = p.expr()
+            alias = None
+            if p.accept_kw("AS"):
+                alias = p.ident()
+            items.append((alias, e))
+        if not p.accept_op(","):
+            break
+    p.expect_kw("FROM")
+    src = p.ident()
+    if p.accept_op("("):  # table function
+        p.expect_op(")")
+        if src.lower() == "pragma_hnsw_index_info":
+            return _InfoPlan()
+        raise BinderError(f"unknown table function '{src}'")
+    node: PlanNode = Scan(src)
+    if p.accept_kw("WHERE"):
+        node = Filter(node, p.expr())
+    order = None
+    ascending = True
+    if p.accept_kw("ORDER"):
+        p.expect_kw("BY")
+        order = p.expr()
+        if p.accept_kw("DESC"):
+            ascending = False
+        else:
+            p.accept_kw("ASC")
+    limit = None
+    if p.accept_kw("LIMIT"):
+        kind, v = p.next()
+        if kind != "num":
+            raise BinderError("LIMIT must be an integer")
+        limit = int(v)
+
+    # min_by aggregate form
+    if (
+        len(items) == 1
+        and items[0][1] is not None
+        and isinstance(items[0][1], Func)
+        and items[0][1].name == "min_by"
+    ):
+        f = items[0][1]
+        if len(f.args) != 3 or not isinstance(f.args[2], Const):
+            raise BinderError("min_by(value, order, k) requires constant k")
+        out = items[0][0] or "min_by"
+        return MinByAgg(node, f.args[0], f.args[1], int(f.args[2].value), out)
+
+    if order is not None and limit is not None:
+        node = TopK(node, order, limit, ascending)
+    elif order is not None:
+        node = TopK(node, order, 1 << 30, ascending)  # full sort
+    elif limit is not None:
+        node = Limit(node, limit)
+
+    if not (len(items) == 1 and items[0][1] is None):
+        exprs: dict[str, Expr] = {}
+        table_cols = db.table(src).column_names() if src in db.tables else []
+        for alias, e in items:
+            if e is None:
+                for c in table_cols:
+                    exprs[c] = ColumnRef(c)
+                continue
+            name = alias or (str(e) if not isinstance(e, ColumnRef) else e.name)
+            exprs[name] = e
+        node = Projection(node, exprs)
+    return node
+
+
+class _InfoPlan(PlanNode):
+    def label(self):
+        return "PRAGMA_HNSW_INDEX_INFO()"
+
+
+_TYPE_MAP = {
+    "INT": np.int64, "INTEGER": np.int64, "BIGINT": np.int64,
+    "SMALLINT": np.int64, "TINYINT": np.int64,
+    "FLOAT": np.float32, "REAL": np.float32, "DOUBLE": np.float64,
+    "VARCHAR": object, "TEXT": object, "STRING": object,
+    "BOOL": np.bool_, "BOOLEAN": np.bool_,
+}
+
+
+def execute_sql(db: Database, text: str):
+    """Execute one SQL statement; returns a result dict (SELECT/EXPLAIN/
+    pragma info) or None for DDL/DML."""
+    p = _Parser(text)
+    kind, v = p.peek()
+    if kind != "id":
+        raise BinderError(f"cannot parse statement starting with {v!r}")
+    kw = v.upper()
+
+    if kw == "EXPLAIN":
+        p.next()
+        plan = _parse_select(p, db)
+        if isinstance(plan, _InfoPlan):
+            return {"explain": [plan.label()]}
+        from vss_tpu.query.rewrite import optimize
+
+        return {"explain": [format_plan(optimize(db, plan))]}
+
+    if kw == "SELECT":
+        plan = _parse_select(p, db)
+        if isinstance(plan, _InfoPlan):
+            rows = db.hnsw_index_info()
+            if not rows:
+                return {}
+            return {
+                k: np.asarray([r[k] for r in rows], dtype=object)
+                for k in rows[0]
+            }
+        return db.execute(plan)
+
+    if kw == "CREATE":
+        p.next()
+        what = p.ident().upper()
+        if what == "TABLE":
+            name = p.ident()
+            p.expect_op("(")
+            cols: dict[str, np.ndarray] = {}
+            while True:
+                cname = p.ident()
+                ctype = p.ident().upper()
+                if ctype not in _TYPE_MAP:
+                    raise BinderError(f"unknown column type '{ctype}'")
+                if p.accept_op("["):
+                    k2, dim = p.next()
+                    if k2 != "num":
+                        raise BinderError("array type needs a size: FLOAT[N]")
+                    p.expect_op("]")
+                    cols[cname] = np.zeros((0, int(dim)), np.float32)
+                else:
+                    cols[cname] = np.zeros((0,), _TYPE_MAP[ctype])
+                if p.accept_op(")"):
+                    break
+                p.expect_op(",")
+            db.create_table(name, cols)
+            return None
+        if what == "INDEX":
+            name = p.ident()
+            p.expect_kw("ON")
+            table = p.ident()
+            p.expect_kw("USING")
+            using = p.ident()
+            if using.upper() != "HNSW":
+                raise BinderError(f"unknown index type '{using}'")
+            p.expect_op("(")
+            column = p.ident()
+            p.expect_op(")")
+            opts: dict[str, Any] = {}
+            if p.accept_kw("WITH"):
+                p.expect_op("(")
+                while True:
+                    k2 = p.ident()
+                    p.expect_op("=")
+                    val = p._literal()
+                    kl = k2.lower()
+                    if kl == "metric":
+                        if not isinstance(val, str):
+                            raise BinderError("HNSW index 'metric' must be a string")
+                        opts["metric"] = val
+                    elif kl == "ef_construction":
+                        if not isinstance(val, int) or isinstance(val, bool):
+                            raise BinderError(
+                                "HNSW index 'ef_construction' must be an integer"
+                            )
+                        opts["ef_construction"] = val
+                    elif kl == "ef_search":
+                        if not isinstance(val, int) or isinstance(val, bool):
+                            raise BinderError(
+                                "HNSW index 'ef_search' must be an integer"
+                            )
+                        opts["ef_search"] = val
+                    elif kl == "m":
+                        if not isinstance(val, int) or isinstance(val, bool):
+                            raise BinderError("HNSW index 'M' must be an integer")
+                        opts["m"] = val
+                    elif kl == "m0":
+                        if not isinstance(val, int) or isinstance(val, bool):
+                            raise BinderError("HNSW index 'M0' must be an integer")
+                        opts["m0"] = val
+                    else:
+                        raise BinderError(
+                            f"Unknown option for HNSW index: '{k2}'"
+                        )
+                    if p.accept_op(")"):
+                        break
+                    p.expect_op(",")
+            db.create_hnsw_index(name, table, column, **opts)
+            return None
+        raise BinderError(f"cannot CREATE {what}")
+
+    if kw == "INSERT":
+        p.next()
+        p.expect_kw("INTO")
+        table = p.ident()
+        t = db.table(table)
+        p.expect_kw("VALUES")
+        names = t.column_names()
+        data: dict[str, list] = {c: [] for c in names}
+        while True:
+            p.expect_op("(")
+            for j, c in enumerate(names):
+                if j:
+                    p.expect_op(",")
+                data[c].append(p._literal())
+            p.expect_op(")")
+            if not p.accept_op(","):
+                break
+        db.insert(table, {c: np.asarray(v) for c, v in data.items()})
+        return None
+
+    if kw == "DELETE":
+        p.next()
+        p.expect_kw("FROM")
+        table = p.ident()
+        t = db.table(table)
+        if p.accept_kw("WHERE"):
+            pred = p.expr()
+            chunk = t.chunk()
+            mask = np.asarray(pred.evaluate(chunk), bool)
+            rowids = chunk["__rowid__"][mask]
+        else:
+            rowids = t.chunk()["__rowid__"]
+        db.delete(table, rowids.tolist())
+        return None
+
+    if kw == "UPDATE":
+        p.next()
+        table = p.ident()
+        t = db.table(table)
+        p.expect_kw("SET")
+        sets: dict[str, Expr] = {}
+        while True:
+            cname = p.ident()
+            p.expect_op("=")
+            sets[cname] = p.expr()
+            if not p.accept_op(","):
+                break
+        chunk = t.chunk()
+        if p.accept_kw("WHERE"):
+            mask = np.asarray(p.expr().evaluate(chunk), bool)
+        else:
+            mask = np.ones(len(chunk["__rowid__"]), bool)
+        rowids = chunk["__rowid__"][mask]
+        sub = {c: v[mask] for c, v in chunk.items()}
+        data = {c: np.asarray(e.evaluate(sub)) for c, e in sets.items()}
+        db.update(table, rowids.tolist(), data)
+        return None
+
+    if kw == "PRAGMA":
+        p.next()
+        name = p.ident()
+        if name.lower() == "hnsw_compact_index":
+            p.expect_op("(")
+            idx = p._literal()
+            p.expect_op(")")
+            db.hnsw_compact_index(str(idx))
+            return None
+        raise BinderError(f"unknown pragma '{name}'")
+
+    if kw == "SET":
+        p.next()
+        name = p.ident()
+        p.expect_op("=")
+        db.set_setting(name, p._literal())
+        return None
+
+    if kw == "DROP":
+        p.next()
+        what = p.ident().upper()
+        name = p.ident()
+        if what == "TABLE":
+            db.drop_table(name)
+        elif what == "INDEX":
+            db.drop_index(name)
+        else:
+            raise BinderError(f"cannot DROP {what}")
+        return None
+
+    if kw == "CHECKPOINT":
+        p.next()
+        kind, v = p.peek()
+        path = None
+        if kind == "str":
+            path = p._literal()
+        db.checkpoint(path)
+        return None
+
+    raise BinderError(f"unsupported statement '{kw}'")
+
+
+def parse_statement(db: Database, text: str) -> PlanNode:
+    p = _Parser(text)
+    return _parse_select(p, db)

@@ -1,0 +1,402 @@
+"""Tables, the database catalog, DML with index maintenance, settings,
+pragmas, and database-level checkpointing.
+
+Covers the roles DuckDB itself plays for the reference (storage, catalog,
+transaction-ish DML hooks) plus the extension's registration surface
+(`/root/reference/src/hnsw/hnsw_index.cpp:700-724`): the `HNSW` index
+type, the `hnsw_enable_experimental_persistence` / `hnsw_ef_search`
+settings, `pragma_hnsw_index_info()` and `PRAGMA hnsw_compact_index`.
+
+Option validation mirrors the reference's binder errors verbatim
+(`src/hnsw/hnsw_index_plan.cpp:33-99`) since its test suite asserts the
+exact messages (`test/sql/hnsw/hnsw_options.test`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from vss_tpu.index.dense import HNSWIndex
+from vss_tpu.index.graph import HNSWConfig
+from vss_tpu.ops.distance import Metric
+
+__all__ = ["Table", "Database", "BinderError"]
+
+
+class BinderError(ValueError):
+    """Plan/DDL-time validation error (DuckDB BinderException analog)."""
+
+
+ALLOWED_METRICS = ("l2sq", "cosine", "ip")
+
+
+class Table:
+    """Columnar table: scalar columns are 1-D NumPy arrays; vector columns
+    are 2-D float32 [n, dims] (the ARRAY(FLOAT, N) analog). Rows carry
+    stable int64 rowids; deletes tombstone positions."""
+
+    def __init__(self, name: str, columns: dict[str, np.ndarray]):
+        self.name = name
+        self.columns: dict[str, np.ndarray] = {}
+        n = None
+        for cname, data in columns.items():
+            arr = np.asarray(data)
+            if arr.ndim == 2:
+                arr = arr.astype(np.float32)
+            elif arr.ndim != 1:
+                raise BinderError(
+                    f"column '{cname}' must be 1-D (scalar) or 2-D (vector)"
+                )
+            if n is None:
+                n = arr.shape[0]
+            elif arr.shape[0] != n:
+                raise BinderError("column length mismatch")
+            self.columns[cname] = arr
+        n = n or 0
+        self.rowids = np.arange(n, dtype=np.int64)
+        self.row_valid = np.ones(n, bool)
+        self.next_rowid = n
+        self._device_cache: dict[str, Any] = {}
+        self._version = 0
+
+    # ------------------------------------------------------------ basics
+    @property
+    def num_rows(self) -> int:
+        return int(self.row_valid.sum())
+
+    def column_names(self) -> list[str]:
+        return list(self.columns)
+
+    def is_vector_column(self, name: str) -> bool:
+        return self.columns[name].ndim == 2
+
+    def vector_dims(self, name: str) -> int:
+        if not self.is_vector_column(name):
+            raise BinderError("HNSW index keys must be of type FLOAT[N]")
+        return self.columns[name].shape[1]
+
+    def _bump(self):
+        self._version += 1
+        self._device_cache.clear()
+
+    def device_column(self, name: str):
+        """Vector column + validity as device arrays (cached per version)."""
+        key = name
+        if key not in self._device_cache:
+            self._device_cache[key] = (
+                jnp.asarray(self.columns[name]),
+                jnp.asarray(self.row_valid),
+            )
+        return self._device_cache[key]
+
+    # ------------------------------------------------------------ access
+    def chunk(self, positions: Optional[np.ndarray] = None) -> dict[str, np.ndarray]:
+        """Materialize rows as a column chunk (adds __rowid__)."""
+        if positions is None:
+            positions = np.flatnonzero(self.row_valid)
+        out = {c: v[positions] for c, v in self.columns.items()}
+        out["__rowid__"] = self.rowids[positions]
+        return out
+
+    def positions_of_rowids(self, rowids: np.ndarray) -> np.ndarray:
+        """rowid -> physical position (rowids are appended in increasing
+        order, so binary search works). -1 for misses."""
+        rowids = np.asarray(rowids, np.int64)
+        pos = np.searchsorted(self.rowids, rowids)
+        pos = np.clip(pos, 0, max(len(self.rowids) - 1, 0))
+        ok = (
+            (len(self.rowids) > 0)
+            & (self.rowids[pos] == rowids)
+            & self.row_valid[pos]
+        )
+        return np.where(ok, pos, -1)
+
+    def fetch(self, rowids: np.ndarray) -> dict[str, np.ndarray]:
+        """DataTable::Fetch analog: rows by rowid, dropping misses/deleted."""
+        pos = self.positions_of_rowids(rowids)
+        return self.chunk(pos[pos >= 0])
+
+    # ------------------------------------------------------------ DML
+    def append(self, data: dict[str, np.ndarray]) -> np.ndarray:
+        cols = set(self.columns)
+        if set(data) != cols:
+            raise BinderError(
+                f"INSERT columns {sorted(data)} != table columns {sorted(cols)}"
+            )
+        n = None
+        for cname, vals in data.items():
+            arr = np.asarray(vals)
+            if self.columns[cname].ndim == 2:
+                arr = arr.astype(np.float32)
+                if arr.ndim == 1:
+                    arr = arr[None, :]
+                if arr.shape[1] != self.columns[cname].shape[1]:
+                    raise BinderError("vector dimension mismatch on INSERT")
+            n = arr.shape[0] if n is None else n
+            if arr.shape[0] != n:
+                raise BinderError("column length mismatch on INSERT")
+            self.columns[cname] = np.concatenate([self.columns[cname], arr])
+        new_ids = np.arange(self.next_rowid, self.next_rowid + n, dtype=np.int64)
+        self.next_rowid += n
+        self.rowids = np.concatenate([self.rowids, new_ids])
+        self.row_valid = np.concatenate([self.row_valid, np.ones(n, bool)])
+        self._bump()
+        return new_ids
+
+    def delete_rowids(self, rowids: Sequence[int]) -> np.ndarray:
+        pos = self.positions_of_rowids(np.asarray(list(rowids), np.int64))
+        pos = pos[pos >= 0]
+        deleted = self.rowids[pos]
+        self.row_valid[pos] = False
+        self._bump()
+        return deleted
+
+
+@dataclasses.dataclass
+class IndexEntry:
+    name: str
+    table: str
+    column: str
+    index: HNSWIndex
+
+
+class Database:
+    """In-process database: catalog of tables + HNSW indexes + settings."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.tables: dict[str, Table] = {}
+        self.indexes: dict[str, IndexEntry] = {}
+        self.settings: dict[str, Any] = {
+            "hnsw_ef_search": 0,
+            "hnsw_enable_experimental_persistence": False,
+        }
+        self.path = path  # set -> "disk-backed" (persistence gate applies)
+
+    # ------------------------------------------------------------ settings
+    def set_setting(self, name: str, value):
+        if name not in self.settings:
+            raise BinderError(f"unrecognized configuration parameter '{name}'")
+        self.settings[name] = value
+
+    # ------------------------------------------------------------ catalog
+    def create_table(self, name: str, columns: dict[str, np.ndarray]) -> Table:
+        if name in self.tables:
+            raise BinderError(f"table '{name}' already exists")
+        t = Table(name, columns)
+        self.tables[name] = t
+        return t
+
+    def table(self, name: str) -> Table:
+        if name not in self.tables:
+            raise BinderError(f"table '{name}' does not exist")
+        return self.tables[name]
+
+    def drop_table(self, name: str):
+        self.table(name)
+        for iname in [i for i, e in self.indexes.items() if e.table == name]:
+            del self.indexes[iname]
+        del self.tables[name]
+
+    # ------------------------------------------------------------ indexes
+    def create_hnsw_index(
+        self,
+        name: str,
+        table: str,
+        column: str,
+        *,
+        metric: str = "l2sq",
+        ef_construction: int = 128,
+        ef_search: int = 64,
+        m: int = 16,
+        m0: int = 0,
+        wave_size: int = 1024,
+        seed: int = 0,
+    ) -> IndexEntry:
+        """CREATE INDEX ... USING HNSW. Validation mirrors
+        hnsw_index_plan.cpp:21-99 (messages included)."""
+        if self.path is not None and not self.settings[
+            "hnsw_enable_experimental_persistence"
+        ]:
+            raise BinderError(
+                "HNSW indexes can only be created in in-memory databases, or "
+                "when the configuration option "
+                "'hnsw_enable_experimental_persistence' is set to true."
+            )
+        if not isinstance(metric, str):
+            raise BinderError("HNSW index 'metric' must be a string")
+        if metric not in ALLOWED_METRICS:
+            allowed = ", ".join(f"'{x}'" for x in ALLOWED_METRICS)
+            raise BinderError(f"HNSW index 'metric' must be one of: {allowed}")
+        for label, val, lo in (
+            ("ef_construction", ef_construction, 1),
+            ("ef_search", ef_search, 1),
+            ("M", m, 2),
+            ("M0", m0 if m0 else 2 * m, 2),
+        ):
+            if not isinstance(val, (int, np.integer)) or isinstance(val, bool):
+                raise BinderError(f"HNSW index '{label}' must be an integer")
+            if val < lo:
+                raise BinderError(f"HNSW index '{label}' must be at least {lo}")
+        if name in self.indexes:
+            raise BinderError(f"index '{name}' already exists")
+        t = self.table(table)
+        if column not in t.columns:
+            raise BinderError(f"column '{column}' does not exist")
+        dims = t.vector_dims(column)  # raises for non-vector columns
+        cfg = HNSWConfig(
+            dims=dims,
+            metric=metric,
+            m=m,
+            m0=m0,
+            ef_construction=ef_construction,
+            ef_search=ef_search,
+        )
+        # CREATE INDEX skips NULL rows; here: only live rows are indexed
+        live = np.flatnonzero(t.row_valid)
+        idx = HNSWIndex.build(
+            t.columns[column][live],
+            cfg,
+            rowids=t.rowids[live],
+            wave_size=wave_size,
+            seed=seed,
+        )
+        entry = IndexEntry(name=name, table=table, column=column, index=idx)
+        self.indexes[name] = entry
+        return entry
+
+    def drop_index(self, name: str):
+        if name not in self.indexes:
+            raise BinderError(f"index '{name}' does not exist")
+        del self.indexes[name]
+
+    def indexes_on(self, table: str, column: Optional[str] = None):
+        return [
+            e
+            for e in self.indexes.values()
+            if e.table == table and (column is None or e.column == column)
+        ]
+
+    # ------------------------------------------------------------ DML
+    def insert(self, table: str, data: dict) -> np.ndarray:
+        t = self.table(table)
+        new_ids = t.append(data)
+        for e in self.indexes_on(table):
+            vecs = t.columns[e.column][t.positions_of_rowids(new_ids)]
+            e.index.insert(vecs, new_ids)
+        return new_ids
+
+    def delete(self, table: str, rowids: Sequence[int]) -> int:
+        t = self.table(table)
+        deleted = t.delete_rowids(rowids)
+        for e in self.indexes_on(table):
+            e.index.delete(deleted.tolist())
+        return len(deleted)
+
+    def update(self, table: str, rowids: Sequence[int], data: dict) -> np.ndarray:
+        """UPDATE = DELETE + INSERT (the reference index contract,
+        SURVEY §3.5)."""
+        t = self.table(table)
+        pos = t.positions_of_rowids(np.asarray(list(rowids), np.int64))
+        pos = pos[pos >= 0]
+        old = {c: v[pos].copy() for c, v in t.columns.items()}
+        old.update(data)
+        self.delete(table, rowids)
+        return self.insert(table, old)
+
+    # ------------------------------------------------------------ pragmas
+    def hnsw_index_info(self) -> list[dict]:
+        """pragma_hnsw_index_info() analog (hnsw_index_pragmas.cpp:41-173)."""
+        out = []
+        for e in self.indexes.values():
+            st = e.index.stats()
+            st.update(
+                {"index_name": e.name, "table_name": e.table, "column": e.column}
+            )
+            out.append(st)
+        return out
+
+    def hnsw_compact_index(self, name: str):
+        """PRAGMA hnsw_compact_index('name')."""
+        if name not in self.indexes:
+            raise BinderError(f"index '{name}' does not exist")
+        self.indexes[name].index.compact()
+
+    # ------------------------------------------------------------ queries
+    def execute(self, plan):
+        from vss_tpu.query.exec import run_plan
+        from vss_tpu.query.rewrite import optimize
+
+        return run_plan(self, optimize(self, plan))
+
+    def execute_unoptimized(self, plan):
+        """Run without optimizer rewrites (PRAGMA disable_optimizer analog,
+        used by parity tests)."""
+        from vss_tpu.query.exec import run_plan
+
+        return run_plan(self, plan)
+
+    def explain(self, plan) -> str:
+        from vss_tpu.query.ir import format_plan
+        from vss_tpu.query.rewrite import optimize
+
+        return format_plan(optimize(self, plan))
+
+    def sql(self, text: str):
+        """Execute a SQL statement (see vss_tpu.query.sql)."""
+        from vss_tpu.query.sql import execute_sql
+
+        return execute_sql(self, text)
+
+    # ------------------------------------------------------------ persist
+    def checkpoint(self, path: Optional[str] = None):
+        """Write tables + indexes + catalog to a directory."""
+        from vss_tpu.storage.serialize import save_index
+
+        path = path or self.path
+        if path is None:
+            raise BinderError("no checkpoint path given for in-memory database")
+        os.makedirs(path, exist_ok=True)
+        catalog = {"tables": {}, "indexes": {}, "settings": self.settings}
+        for name, t in self.tables.items():
+            arrs = dict(t.columns)
+            arrs["__rowids__"] = t.rowids
+            arrs["__valid__"] = t.row_valid
+            np.savez_compressed(os.path.join(path, f"table_{name}.npz"), **arrs)
+            catalog["tables"][name] = {"next_rowid": t.next_rowid}
+        for name, e in self.indexes.items():
+            if e.index.dirty or not os.path.exists(
+                os.path.join(path, f"index_{name}.vss")
+            ):
+                save_index(e.index, os.path.join(path, f"index_{name}.vss"))
+            catalog["indexes"][name] = {"table": e.table, "column": e.column}
+        with open(os.path.join(path, "catalog.json"), "w") as f:
+            json.dump(catalog, f)
+        self.path = path
+
+    @classmethod
+    def open(cls, path: str) -> "Database":
+        from vss_tpu.storage.serialize import load_index
+
+        with open(os.path.join(path, "catalog.json")) as f:
+            catalog = json.load(f)
+        db = cls(path=path)
+        db.settings.update(catalog.get("settings", {}))
+        for name, meta in catalog["tables"].items():
+            data = np.load(os.path.join(path, f"table_{name}.npz"))
+            cols = {k: data[k] for k in data.files if not k.startswith("__")}
+            t = Table(name, cols)
+            t.rowids = data["__rowids__"]
+            t.row_valid = data["__valid__"]
+            t.next_rowid = meta["next_rowid"]
+            db.tables[name] = t
+        for name, meta in catalog["indexes"].items():
+            idx = load_index(os.path.join(path, f"index_{name}.vss"))
+            db.indexes[name] = IndexEntry(
+                name=name, table=meta["table"], column=meta["column"], index=idx
+            )
+        return db
