@@ -45,7 +45,7 @@ __all__ = ["build_graph_batched", "insert_wave", "plan_wave_rows"]
 
 _INF = jnp.float32(jnp.inf)
 _IMAX = jnp.int32(2**31 - 1)
-_INCOMING_CAP = 8  # back-link fan-in accepted per target per wave
+_INCOMING_CAP = 16  # back-link fan-in accepted per target per wave
 
 
 def _apply_backlinks_level(
