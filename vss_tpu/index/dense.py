@@ -75,9 +75,15 @@ class HNSWIndex:
         wave_size: int = 1024,
         efc: Optional[int] = None,
         expand: int = 4,
+        method: str = "auto",
         progress=None,
     ) -> "HNSWIndex":
-        """Bulk-build over a full vector set (the CREATE INDEX path)."""
+        """Bulk-build over a full vector set (the CREATE INDEX path).
+
+        method: 'wave' (batched TPU construction), 'native' (multithreaded
+        C++ host builder), or 'auto' — native for small tables where
+        device-wave dispatch overhead dominates, wave otherwise.
+        """
         vectors = np.asarray(vectors, np.float32)
         n = vectors.shape[0]
         idx = cls(config, capacity=64)
@@ -86,16 +92,29 @@ class HNSWIndex:
         if rowids is None:
             rowids = np.arange(n, dtype=np.int64)
         rowids = np.asarray(rowids)
-        graph, upper_used = build_graph_batched(
-            vectors,
-            config,
-            seed=seed,
-            wave_size=wave_size,
-            rowids=rowids.astype(np.int32),
-            efc=efc,
-            expand=expand,
-            progress=progress,
-        )
+        if method == "auto":
+            from vss_tpu.index.native import native_available
+
+            method = "native" if (n <= 8192 and native_available()) else "wave"
+        if method == "native":
+            from vss_tpu.index.native import build_graph_native
+
+            graph, upper_used = build_graph_native(
+                vectors, config, seed=seed, rowids=rowids
+            )
+        elif method == "wave":
+            graph, upper_used = build_graph_batched(
+                vectors,
+                config,
+                seed=seed,
+                wave_size=wave_size,
+                rowids=rowids.astype(np.int32),
+                efc=efc,
+                expand=expand,
+                progress=progress,
+            )
+        else:
+            raise ValueError(f"unknown build method '{method}'")
         idx.graph = graph
         idx.upper_used = upper_used
         idx.next_slot = n

@@ -354,12 +354,20 @@ class Database:
 
     # ------------------------------------------------------------ persist
     def checkpoint(self, path: Optional[str] = None):
-        """Write tables + indexes + catalog to a directory."""
+        """Write tables + indexes + catalog to disk.
+
+        A path ending in '.vssdb' produces a single block-structured file
+        (native linked-block store, vss_tpu.storage.blockfile); any other
+        path is a checkpoint directory."""
         from vss_tpu.storage.serialize import save_index
 
         path = path or self.path
         if path is None:
             raise BinderError("no checkpoint path given for in-memory database")
+        if path.endswith(".vssdb"):
+            self._checkpoint_blockstore(path)
+            self.path = path
+            return
         os.makedirs(path, exist_ok=True)
         catalog = {"tables": {}, "indexes": {}, "settings": self.settings}
         for name, t in self.tables.items():
@@ -378,10 +386,71 @@ class Database:
             json.dump(catalog, f)
         self.path = path
 
+    def _checkpoint_blockstore(self, path: str):
+        import io
+
+        from vss_tpu.storage.blockfile import BlockStore
+        from vss_tpu.storage.serialize import serialize_index
+
+        with BlockStore(path) as bs:
+            catalog = {"tables": {}, "indexes": {}, "settings": self.settings}
+            live = set()
+            for name, t in self.tables.items():
+                arrs = dict(t.columns)
+                arrs["__rowids__"] = t.rowids
+                arrs["__valid__"] = t.row_valid
+                buf = io.BytesIO()
+                np.savez_compressed(buf, **arrs)
+                bs.put(f"table:{name}", buf.getvalue())
+                live.add(f"table:{name}")
+                catalog["tables"][name] = {"next_rowid": t.next_rowid}
+            for name, e in self.indexes.items():
+                key = f"index:{name}"
+                if e.index.dirty or key not in bs:
+                    buf = io.BytesIO()
+                    serialize_index(e.index, buf)
+                    bs.put(key, buf.getvalue())
+                    e.index.dirty = False
+                live.add(key)
+                catalog["indexes"][name] = {"table": e.table, "column": e.column}
+            # drop streams for dropped tables/indexes (block reclaim)
+            for stream in bs.list():
+                if stream.startswith(("table:", "index:")) and stream not in live:
+                    bs.delete(stream)
+            bs.put("catalog", json.dumps(catalog).encode())
+
+    @classmethod
+    def _open_blockstore(cls, path: str) -> "Database":
+        import io
+
+        from vss_tpu.storage.blockfile import BlockStore
+        from vss_tpu.storage.serialize import deserialize_index
+
+        with BlockStore(path) as bs:
+            catalog = json.loads(bs.get("catalog").decode())
+            db = cls(path=path)
+            db.settings.update(catalog.get("settings", {}))
+            for name, meta in catalog["tables"].items():
+                data = np.load(io.BytesIO(bs.get(f"table:{name}")))
+                cols = {k: data[k] for k in data.files if not k.startswith("__")}
+                t = Table(name, cols)
+                t.rowids = data["__rowids__"]
+                t.row_valid = data["__valid__"]
+                t.next_rowid = meta["next_rowid"]
+                db.tables[name] = t
+            for name, meta in catalog["indexes"].items():
+                idx = deserialize_index(io.BytesIO(bs.get(f"index:{name}")))
+                db.indexes[name] = IndexEntry(
+                    name=name, table=meta["table"], column=meta["column"], index=idx
+                )
+        return db
+
     @classmethod
     def open(cls, path: str) -> "Database":
         from vss_tpu.storage.serialize import load_index
 
+        if path.endswith(".vssdb"):
+            return cls._open_blockstore(path)
         with open(os.path.join(path, "catalog.json")) as f:
             catalog = json.load(f)
         db = cls(path=path)
