@@ -77,9 +77,13 @@ def main():
 
     log("[bench] building index...")
     t0 = time.perf_counter()
+
+    def _progress(done, n):
+        if done <= WAVE or done % (WAVE * 32) < WAVE or done >= n:
+            log(f"[bench] build {done}/{n} ({time.perf_counter() - t0:.0f}s)")
+
     idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
-                          progress=lambda done, n: log(f"[bench] build {done}/{n}")
-                          if done % (WAVE * 64) < WAVE else None)
+                          method="wave", progress=_progress)
     jax.block_until_ready(idx.graph.vectors)
     build_s = time.perf_counter() - t0
     build_rows_per_s = N / build_s

@@ -157,12 +157,24 @@ def test_knn_join_rewrite_and_parity(db, rng):
     res = q.execute()
     assert len(res["l_qid"]) == 30
     assert res["row_number"].max() == 3
-    # parity vs brute-force fallback
+    # parity vs brute-force fallback: compare per-rank distances, not ids —
+    # the integer grid is full of exact ties, where any equidistant
+    # neighbor is a correct answer (the reference's own tests avoid exact
+    # row assertions for the same reason, SURVEY §4)
     ref = q.execute_unoptimized()
-    got = set(zip(res["l_qid"].tolist(), res["r_id"].tolist()))
-    want = set(zip(ref["l_qid"].tolist(), ref["r_id"].tolist()))
-    overlap = len(got & want) / len(want)
-    assert overlap >= 0.95
+
+    def dists(r):
+        d = r["r_vec"].astype(np.float64) - queries[r["l_qid"]].astype(np.float64)
+        return np.sqrt((d * d).sum(-1))
+
+    q2 = (
+        db.query("queries")
+        .knn_join("items", "vec", col("qvec"), k=3)
+        .select("l_qid", "r_id", "r_vec", "row_number")
+    )
+    res = db.execute(q2.plan())
+    ref = db.execute_unoptimized(q2.plan())
+    np.testing.assert_allclose(dists(res), dists(ref), atol=1e-5)
 
 
 def test_vss_macros(db, rng):

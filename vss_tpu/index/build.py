@@ -53,13 +53,17 @@ def _apply_backlinks_level(
     config: HNSWConfig,
     slots: jax.Array,
     chosen: jax.Array,
-    lev: int,
+    lev,
     active: jax.Array,
-) -> HNSWGraph:
-    """Merge wave->target edges back into targets' adjacency at `lev`."""
+) -> jax.Array:
+    """Merge wave->target edges back into targets' adjacency at `lev`.
+
+    `lev` is the static int 0 (base layer; returns a new adj0) or a traced
+    scalar >= 1 (upper layer; returns a new upper_adj)."""
     W, m = chosen.shape
     E = W * m
-    cap = config.m0 if lev == 0 else config.m
+    base = isinstance(lev, int) and lev == 0
+    cap = config.m0 if base else config.m
     dummy_slot = graph.capacity - 1
     dummy_row = graph.upper_capacity - 1
 
@@ -85,10 +89,14 @@ def _apply_backlinks_level(
     leader = seg_start & (sorted_t != _IMAX)
     t_slot = jnp.where(leader, sorted_t, -1)
     t_clamp = jnp.maximum(t_slot, 0)
-    if lev == 0:
+    if base:
         exist = jnp.take(graph.adj0, t_clamp, axis=0)
     else:
-        trow = jnp.take(graph.upper_row, t_clamp, axis=0)[:, lev - 1]
+        rows_all = jnp.take(graph.upper_row, t_clamp, axis=0)  # [E, Lmax]
+        col = jnp.asarray(lev, jnp.int32) - 1
+        trow = jnp.take_along_axis(
+            rows_all, jnp.broadcast_to(col, (E,))[:, None], axis=1
+        )[:, 0]
         leader = leader & (trow >= 0)
         exist = jnp.take(graph.upper_adj, jnp.maximum(trow, 0), axis=0)
     tv = jnp.take(graph.vectors, t_clamp, axis=0)
@@ -112,13 +120,11 @@ def _apply_backlinks_level(
     chosen_s = jnp.where(jnp.isfinite(-neg_top), chosen_s, -1)
     rows = jnp.where(overflow[:, None], chosen_h, chosen_s)
 
-    if lev == 0:
-        adj0 = graph.adj0.at[jnp.where(leader, t_slot, dummy_slot)].set(rows)
-        return dataclasses.replace(graph, adj0=adj0)
-    upper_adj = graph.upper_adj.at[
+    if base:
+        return graph.adj0.at[jnp.where(leader, t_slot, dummy_slot)].set(rows)
+    return graph.upper_adj.at[
         jnp.where(leader, jnp.maximum(trow, 0), dummy_row)
     ].set(rows)
-    return dataclasses.replace(graph, upper_adj=upper_adj)
 
 
 @functools.partial(
@@ -171,8 +177,13 @@ def insert_wave(
     eye = jnp.eye(W, dtype=jnp.bool_)
     d_ww = jnp.where(eye | ~wave_valid[None, :] | ~wave_valid[:, None], _INF, d_ww)
 
-    # ---- 3. per-level: beam + select + write + backlink (top -> base)
-    for lev in range(config.max_levels, -1, -1):
+    # ---- 3. per-level: beam + select + write + backlink (top -> base).
+    # Upper levels run inside one fori_loop with a traced level index so
+    # the compiled program holds ONE copy of the level body, not Lmax.
+    def level_step(g, lev, seeds, seed_d):
+        """One level's work. lev: static 0 or traced >= 1. Returns the new
+        adjacency array for that layer kind plus updated seeds."""
+        base = isinstance(lev, int) and lev == 0
         active = wave_valid & (wave_levels >= lev)
         s = jnp.where(active, seeds, -1)
         sd = jnp.where(active & (seeds >= 0), seed_d, _INF)
@@ -184,37 +195,49 @@ def insert_wave(
         d_lev = jnp.where((wave_levels >= lev)[None, :], d_ww, _INF)
         neg_top, pos = jax.lax.top_k(-d_lev, intra_k)
         intra_d = -neg_top
-        intra_i = jnp.where(
-            jnp.isfinite(intra_d), jnp.take(slots, pos), -1
-        )
+        intra_i = jnp.where(jnp.isfinite(intra_d), jnp.take(slots, pos), -1)
         cand_i = jnp.concatenate([res_i, intra_i], axis=1)
         cand_d = jnp.concatenate([res_d, intra_d], axis=1)
         chosen = select_neighbors(
             wave_vecs, cand_i, cand_d, g.vectors, config.m, config.metric, active
         )
         # write primary adjacency rows
-        if lev == 0:
+        if base:
             rows0 = jnp.pad(
                 chosen, ((0, 0), (0, config.m0 - config.m)), constant_values=-1
             )
-            g = dataclasses.replace(
-                g,
-                adj0=g.adj0.at[jnp.where(active, slots, dummy_slot)].set(rows0),
-            )
+            adj = g.adj0.at[jnp.where(active, slots, dummy_slot)].set(rows0)
+            g = dataclasses.replace(g, adj0=adj)
         else:
-            urow = wave_upper_rows[:, lev - 1]
+            col = jnp.asarray(lev, jnp.int32) - 1
+            urow = jnp.take_along_axis(
+                wave_upper_rows, jnp.broadcast_to(col, (W,))[:, None], axis=1
+            )[:, 0]
             ok_row = active & (urow >= 0)
-            g = dataclasses.replace(
-                g,
-                upper_adj=g.upper_adj.at[
-                    jnp.where(ok_row, jnp.maximum(urow, 0), dummy_row)
-                ].set(chosen),
-            )
-        g = _apply_backlinks_level(g, config, slots, chosen, lev, active)
+            adj = g.upper_adj.at[
+                jnp.where(ok_row, jnp.maximum(urow, 0), dummy_row)
+            ].set(chosen)
+            g = dataclasses.replace(g, upper_adj=adj)
+        adj = _apply_backlinks_level(g, config, slots, chosen, lev, active)
         # best graph node found at this level seeds the next one down
         upd = active & (res_i[:, 0] >= 0)
         seeds = jnp.where(upd, res_i[:, 0], seeds)
         seed_d = jnp.where(upd, res_d[:, 0], seed_d)
+        return adj, seeds, seed_d
+
+    def upper_body(i, carry):
+        upper_adj, seeds, seed_d = carry
+        lev = config.max_levels - i  # Lmax .. 1
+        g_cur = dataclasses.replace(g, upper_adj=upper_adj)
+        new_upper, seeds, seed_d = level_step(g_cur, lev, seeds, seed_d)
+        return new_upper, seeds, seed_d
+
+    upper_adj, seeds, seed_d = jax.lax.fori_loop(
+        0, config.max_levels, upper_body, (g.upper_adj, seeds, seed_d)
+    )
+    g = dataclasses.replace(g, upper_adj=upper_adj)
+    adj0, seeds, seed_d = level_step(g, 0, seeds, seed_d)
+    g = dataclasses.replace(g, adj0=adj0)
 
     # ---- 4. entry / max level / count
     eff_lv = jnp.where(wave_valid, wave_levels, -1)

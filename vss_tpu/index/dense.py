@@ -82,7 +82,10 @@ class HNSWIndex:
 
         method: 'wave' (batched TPU construction), 'native' (multithreaded
         C++ host builder), or 'auto' — native for small tables where
-        device-wave dispatch overhead dominates, wave otherwise.
+        device-wave dispatch overhead dominates, wave otherwise. Auto uses
+        a single builder thread so results are deterministic; explicit
+        'native' uses all cores (nondeterministic interleaving, like the
+        reference's parallel build).
         """
         vectors = np.asarray(vectors, np.float32)
         n = vectors.shape[0]
@@ -92,15 +95,20 @@ class HNSWIndex:
         if rowids is None:
             rowids = np.arange(n, dtype=np.int64)
         rowids = np.asarray(rowids)
+        native_threads = 0
         if method == "auto":
             from vss_tpu.index.native import native_available
 
-            method = "native" if (n <= 8192 and native_available()) else "wave"
+            if n <= 8192 and native_available():
+                method, native_threads = "native", 1  # deterministic
+            else:
+                method = "wave"
         if method == "native":
             from vss_tpu.index.native import build_graph_native
 
             graph, upper_used = build_graph_native(
-                vectors, config, seed=seed, rowids=rowids
+                vectors, config, seed=seed, rowids=rowids,
+                n_threads=native_threads,
             )
         elif method == "wave":
             graph, upper_used = build_graph_batched(

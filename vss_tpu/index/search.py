@@ -149,14 +149,18 @@ def beam_search_base(
     allow: bool [cap] — nodes admissible to the RESULT pool (valid & not
     tombstoned & user predicate). Traversal ignores it.
 
-    When `level > 0` the beam runs over that upper level's adjacency
-    (used by construction to collect per-level candidates).
+    When `level != 0` the beam runs over that upper level's adjacency
+    (used by construction to collect per-level candidates). `level` may be
+    a traced scalar (>= 1) so construction can loop over levels with
+    `lax.fori_loop` instead of unrolling — keeps the compiled program
+    small.
 
     Returns (res_d [B, ef] ascending, res_i [B, ef], cand_i [B, ef]):
     result pool and the raw (unfiltered) candidate pool.
     """
     B = q.shape[0]
-    m0 = config.m0 if level == 0 else config.m
+    base = isinstance(level, int) and level == 0
+    m0 = config.m0 if base else config.m
     E = expand
     if max_iters <= 0:
         max_iters = 4 + (2 * ef) // E
@@ -175,12 +179,18 @@ def beam_search_base(
     hist = jnp.full((B, hist_len), -1, jnp.int32)
 
     def neighbors_of(ids):  # ids [B, E] -> [B, E*m0]
-        if level == 0:
+        if base:
             adj = jnp.take(graph.adj0, jnp.maximum(ids, 0), axis=0)
         else:
-            row = jnp.take(graph.upper_row, jnp.maximum(ids, 0), axis=0)[
-                :, :, level - 1
-            ]
+            rows_all = jnp.take(
+                graph.upper_row, jnp.maximum(ids, 0), axis=0
+            )  # [B, E, Lmax]
+            col = jnp.asarray(level, jnp.int32) - 1
+            row = jnp.take_along_axis(
+                rows_all,
+                jnp.broadcast_to(col, ids.shape)[..., None],
+                axis=2,
+            )[..., 0]
             adj = jnp.take(graph.upper_adj, jnp.maximum(row, 0), axis=0)
             adj = jnp.where((row >= 0)[:, :, None], adj, -1)
         adj = jnp.where((ids >= 0)[:, :, None], adj, -1)
