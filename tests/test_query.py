@@ -272,3 +272,30 @@ def test_database_checkpoint_roundtrip(db, tmp_path):
     q = db2.query("items").order_by(dist_q([5, 5, 5])).limit(3).select("id")
     assert "HNSW_INDEX_SCAN" in q.explain()
     assert q.execute()["id"][0] == 5 * 81 + 5 * 9 + 5
+
+
+def test_explain_analyze(db):
+    q = db.query("items").order_by(dist_q([5, 5, 5])).limit(3).select("id")
+    report, result = db.explain_analyze(q.plan())
+    assert "HNSW_INDEX_SCAN" in report
+    assert "ms," in report and "rows]" in report
+    assert result["id"][0] == 5 * 81 + 5 * 9 + 5
+    # SQL surface
+    r = db.sql(
+        "EXPLAIN ANALYZE SELECT id FROM items "
+        "ORDER BY array_distance(vec, [5.0,5.0,5.0]) LIMIT 3"
+    )
+    assert "HNSW_INDEX_SCAN" in r["explain"][0]
+
+
+def test_search_stats(db):
+    from vss_tpu.index.search import hnsw_search
+    import jax.numpy as jnp
+
+    e = db.indexes["my_idx"]
+    d, i, stats = hnsw_search(
+        e.index.graph, e.index.config, jnp.asarray([[5.0, 5.0, 5.0]]), k=3,
+        with_stats=True,
+    )
+    assert stats["iterations"] > 0
+    assert stats["distance_evals"] > 0

@@ -187,7 +187,7 @@ def insert_wave(
         active = wave_valid & (wave_levels >= lev)
         s = jnp.where(active, seeds, -1)
         sd = jnp.where(active & (seeds >= 0), seed_d, _INF)
-        res_d, res_i, _ = beam_search_base(
+        res_d, res_i, _, _stats = beam_search_base(
             g, config, wave_vecs, s, sd, efc, occupied,
             expand=expand, level=lev,
         )

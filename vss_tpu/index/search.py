@@ -203,11 +203,11 @@ def beam_search_base(
         return (unexp_min > worst_res) | ~jnp.isfinite(unexp_min)
 
     def cond(state):
-        it, cand_d, cand_i, expanded, res_d, res_i, hist = state
+        it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = state
         return (it < max_iters) & ~jnp.all(done_mask(cand_d, expanded, res_d))
 
     def body(state):
-        it, cand_d, cand_i, expanded, res_d, res_i, hist = state
+        it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = state
         done = done_mask(cand_d, expanded, res_d)
         # pick E best unexpanded candidates per query
         key = jnp.where(expanded, _INF, cand_d)
@@ -238,6 +238,7 @@ def beam_search_base(
             q, _gather_vectors(graph.vectors, neigh), config.metric
         )
         nd = jnp.where(neigh >= 0, nd, _INF)
+        evals = evals + jnp.sum((neigh >= 0).astype(jnp.int32))
 
         # merge into candidate pool (keep expansion flags aligned)
         cat_d = jnp.concatenate([cand_d, nd], axis=1)
@@ -267,13 +268,18 @@ def beam_search_base(
         expanded = jnp.where(keep, expanded, new_expanded)
         res_d = jnp.where(keep, res_d, new_res_d)
         res_i = jnp.where(keep, res_i, new_res_i)
-        return it + 1, cand_d, cand_i, expanded, res_d, res_i, hist
+        return it + 1, evals, cand_d, cand_i, expanded, res_d, res_i, hist
 
-    state = (jnp.int32(0), cand_d, cand_i, expanded, res_d, res_i, hist)
-    _, cand_d, cand_i, expanded, res_d, res_i, hist = jax.lax.while_loop(
+    state = (
+        jnp.int32(0), jnp.int32(0), cand_d, cand_i, expanded, res_d, res_i, hist
+    )
+    it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = jax.lax.while_loop(
         cond, body, state
     )
-    return res_d, res_i, cand_i
+    # (iterations, batch-total distance evaluations) — the analog of
+    # usearch's per-context measure counters (index.hpp:2213-2240), which
+    # the reference collects and then discards; we surface them.
+    return res_d, res_i, cand_i, (it, evals)
 
 
 @functools.partial(
@@ -281,7 +287,7 @@ def beam_search_base(
 )
 def _hnsw_search_impl(graph, config, q, allow, k, ef, expand, max_iters):
     seeds, seed_d = greedy_descent(graph, config, q)
-    res_d, res_i, _ = beam_search_base(
+    res_d, res_i, _, (iters, evals) = beam_search_base(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters
     )
     out_d = res_d[:, :k]
@@ -290,7 +296,7 @@ def _hnsw_search_impl(graph, config, q, allow, k, ef, expand, max_iters):
     empty = graph.entry < 0
     out_d = jnp.where(empty, _INF, out_d)
     out_i = jnp.where(empty, -1, out_i)
-    return out_d, out_i
+    return out_d, out_i, iters, evals
 
 
 def hnsw_search(
@@ -302,6 +308,7 @@ def hnsw_search(
     filter_mask: Optional[jax.Array] = None,
     expand: int = 1,
     max_iters: int = 0,
+    with_stats: bool = False,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -311,6 +318,10 @@ def hnsw_search(
     `filter_mask` is an optional bool [cap] row predicate (the analog of
     usearch's `filtered_search`); tombstoned slots are always excluded from
     results but still routable.
+
+    with_stats=True additionally returns {"iterations", "distance_evals"}
+    for the batch — the counters the reference computes per thread context
+    and then discards (SURVEY §5.1); we surface them.
     """
     if ef is None:
         ef = config.ef_search
@@ -318,6 +329,9 @@ def hnsw_search(
     allow = graph.valid
     if filter_mask is not None:
         allow = allow & filter_mask
-    return _hnsw_search_impl(
+    d, i, iters, evals = _hnsw_search_impl(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand, max_iters
     )
+    if with_stats:
+        return d, i, {"iterations": int(iters), "distance_evals": int(evals)}
+    return d, i

@@ -35,7 +35,7 @@ from vss_tpu.query.ir import (
 )
 from vss_tpu.query.table import Database
 
-__all__ = ["run_plan"]
+__all__ = ["run_plan", "explain_analyze"]
 
 
 def _bucket(n: int) -> int:
@@ -59,25 +59,64 @@ def _search_index(db: Database, index_name: str, queries: np.ndarray, k: int):
     return np.asarray(d)[:B], np.asarray(rows)[:B]
 
 
+def explain_analyze(db: Database, node: PlanNode) -> tuple[str, dict]:
+    """Run the plan with per-operator wall time + row counts (the EXPLAIN
+    ANALYZE surface the reference gets from DuckDB). Returns (report text,
+    result chunk)."""
+    import time
+
+    timings: dict[int, tuple[float, int]] = {}
+
+    def timed_run(n: PlanNode) -> dict[str, np.ndarray]:
+        t0 = time.perf_counter()
+        out = _run_plan_inner(db, n, timed_run)
+        dt = time.perf_counter() - t0
+        rows = len(next(iter(out.values()))) if out else 0
+        timings[id(n)] = (dt, rows)
+        return out
+
+    result = timed_run(node)
+
+    def fmt(n: PlanNode, depth: int) -> list[str]:
+        dt, rows = timings.get(id(n), (0.0, 0))
+        own = dt - sum(timings.get(id(c), (0.0, 0))[0] for c in n.children())
+        lines = [
+            "  " * depth
+            + f"{n.label()}  [{own * 1e3:.2f}ms, {rows} rows]"
+        ]
+        for c in n.children():
+            lines.extend(fmt(c, depth + 1))
+        return lines
+
+    return "\n".join(fmt(node, 0)), result
+
+
 def run_plan(db: Database, node: PlanNode) -> dict[str, np.ndarray]:
+    def run(n):
+        return run_plan(db, n)
+
+    return _run_plan_inner(db, node, run)
+
+
+def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
     if isinstance(node, Scan):
         return db.table(node.table).chunk()
 
     if isinstance(node, Filter):
-        chunk = run_plan(db, node.child)
+        chunk = run(node.child)
         mask = np.asarray(node.predicate.evaluate(chunk), bool)
         return {c: v[mask] for c, v in chunk.items()}
 
     if isinstance(node, Projection):
-        chunk = run_plan(db, node.child)
+        chunk = run(node.child)
         return {name: np.asarray(e.evaluate(chunk)) for name, e in node.exprs.items()}
 
     if isinstance(node, Limit):
-        chunk = run_plan(db, node.child)
+        chunk = run(node.child)
         return {c: v[: node.k] for c, v in chunk.items()}
 
     if isinstance(node, TopK):
-        chunk = run_plan(db, node.child)
+        chunk = run(node.child)
         keys = np.asarray(node.order.evaluate(chunk), np.float64)
         order = np.lexsort(
             (chunk.get("__rowid__", np.arange(len(keys))), keys)
@@ -90,7 +129,7 @@ def run_plan(db: Database, node: PlanNode) -> dict[str, np.ndarray]:
         return {c: v[order] for c, v in chunk.items()}
 
     if isinstance(node, MinByAgg):
-        chunk = run_plan(db, node.child)
+        chunk = run(node.child)
         keys = np.asarray(node.order.evaluate(chunk), np.float64)
         order = np.lexsort(
             (chunk.get("__rowid__", np.arange(len(keys))), keys)
@@ -119,7 +158,7 @@ def run_plan(db: Database, node: PlanNode) -> dict[str, np.ndarray]:
         return t.fetch(rows)
 
     if isinstance(node, HNSWIndexJoinNode):
-        left = run_plan(db, node.left)
+        left = run(node.left)
         entry = db.indexes[node.index_name]
         t = db.table(node.table)
         queries = np.asarray(node.left_vector.evaluate(left), np.float32)
@@ -148,7 +187,7 @@ def run_plan(db: Database, node: PlanNode) -> dict[str, np.ndarray]:
 
     if isinstance(node, KNNJoin):
         # brute-force fallback join (no usable index)
-        left = run_plan(db, node.left)
+        left = run(node.left)
         t = db.table(node.right_table)
         queries = np.asarray(node.left_vector.evaluate(left), np.float32)
         vecs, valid = t.device_column(node.right_column)

@@ -335,9 +335,13 @@ def execute_sql(db: Database, text: str):
 
     if kw == "EXPLAIN":
         p.next()
+        analyze = bool(p.accept_kw("ANALYZE"))
         plan = _parse_select(p, db)
         if isinstance(plan, _InfoPlan):
             return {"explain": [plan.label()]}
+        if analyze:
+            report, _ = db.explain_analyze(plan)
+            return {"explain": [report]}
         from vss_tpu.query.rewrite import optimize
 
         return {"explain": [format_plan(optimize(db, plan))]}

@@ -346,6 +346,14 @@ class Database:
 
         return format_plan(optimize(self, plan))
 
+    def explain_analyze(self, plan) -> tuple[str, dict]:
+        """Run the optimized plan with per-operator timings (EXPLAIN
+        ANALYZE). Returns (report, result chunk)."""
+        from vss_tpu.query.exec import explain_analyze
+        from vss_tpu.query.rewrite import optimize
+
+        return explain_analyze(self, optimize(self, plan))
+
     def sql(self, text: str):
         """Execute a SQL statement (see vss_tpu.query.sql)."""
         from vss_tpu.query.sql import execute_sql
