@@ -55,3 +55,60 @@ def test_sharded_empty_raises():
     idx = ShardedHNSWIndex(HNSWConfig(dims=4), make_mesh(2))
     with pytest.raises(ValueError, match="empty"):
         idx.search(np.zeros((1, 4), np.float32), k=1)
+
+
+def test_sharded_crud_and_persistence(rng, tmp_path):
+    from vss_tpu.index import HNSWConfig
+
+    n, d = 600, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = HNSWConfig(dims=d)
+    idx = ShardedHNSWIndex.build(vecs, cfg, make_mesh(4), wave_size=64)
+
+    # insert
+    nv = rng.standard_normal((10, d)).astype(np.float32)
+    idx.insert(nv, np.arange(5000, 5010))
+    assert idx.count == 610
+    sd, sr = idx.search(nv, k=1, ef=64)
+    assert sorted(np.asarray(sr)[:, 0].tolist()) == list(range(5000, 5010))
+
+    # delete: tombstoned rows excluded
+    assert idx.delete([5000, 5001]) == 2
+    assert idx.count == 608
+    sd, sr = idx.search(nv[:2], k=3, ef=64)
+    flat = set(np.asarray(sr).ravel().tolist())
+    assert not ({5000, 5001} & flat)
+
+    # recycled insert
+    idx.insert(nv[:2] + 9.0, [6000, 6001])
+    assert idx.deleted_count == 0
+
+    # delete + compact + requery
+    dead = list(range(0, 100))
+    idx.delete(dead)
+    idx.compact()
+    assert idx.deleted_count == 0
+    sd, sr = idx.search(vecs[100:110], k=1, ef=64)
+    assert np.asarray(sr)[:, 0].tolist() == list(range(100, 110))
+
+    # save / load round trip
+    p = str(tmp_path / "sharded_ckpt")
+    idx.save(p)
+    idx2 = ShardedHNSWIndex.load(p, make_mesh(4))
+    assert idx2.count == idx.count
+    sd1, sr1 = idx.search(vecs[200:232], k=5, ef=64)
+    sd2, sr2 = idx2.search(vecs[200:232], k=5, ef=64)
+    np.testing.assert_array_equal(np.asarray(sr1), np.asarray(sr2))
+
+    # mismatched mesh size on load
+    with pytest.raises(ValueError, match="shards"):
+        ShardedHNSWIndex.load(p, make_mesh(2))
+
+
+def test_sharded_duplicate_rowid(rng):
+    from vss_tpu.index import HNSWConfig
+
+    vecs = rng.standard_normal((100, 8)).astype(np.float32)
+    idx = ShardedHNSWIndex.build(vecs, HNSWConfig(dims=8), make_mesh(2), wave_size=32)
+    with pytest.raises(ValueError, match="duplicate rowid"):
+        idx.insert(vecs[:1], [5])

@@ -43,8 +43,8 @@ from vss_tpu.utils import round_up
 
 __all__ = ["build_graph_batched", "insert_wave", "plan_wave_rows"]
 
-_INF = jnp.float32(jnp.inf)
-_IMAX = jnp.int32(2**31 - 1)
+_INF = float("inf")  # python scalar: no backend init at import
+_IMAX = 2**31 - 1
 _INCOMING_CAP = 16  # back-link fan-in accepted per target per wave
 
 
@@ -165,9 +165,15 @@ def insert_wave(
         ),
     )
     occupied = g.slot_to_rowid >= 0
+    # norms over the updated tape, shared by every beam this wave
+    x_norms = jnp.sum(g.vectors * g.vectors, axis=-1)
+    q_norms = jnp.sum(wave_vecs * wave_vecs, axis=-1)
 
     # ---- 2. descend to each node's insertion level
-    seeds, seed_d = greedy_descent(g, config, wave_vecs, stop_level=wave_levels)
+    seeds, seed_d = greedy_descent(
+        g, config, wave_vecs, stop_level=wave_levels,
+        x_norms=x_norms, q_norms=q_norms,
+    )
     has_entry = old_entry >= 0
     seeds = jnp.where(has_entry, seeds, -1)
     seed_d = jnp.where(has_entry, seed_d, _INF)
@@ -187,9 +193,12 @@ def insert_wave(
         active = wave_valid & (wave_levels >= lev)
         s = jnp.where(active, seeds, -1)
         sd = jnp.where(active & (seeds >= 0), seed_d, _INF)
+        # construction admits every reachable node (tombstones included,
+        # like the reference's insert-side search) -> single-pool beam
         res_d, res_i, _, _stats = beam_search_base(
             g, config, wave_vecs, s, sd, efc, occupied,
-            expand=expand, level=lev,
+            expand=expand, level=lev, x_norms=x_norms, q_norms=q_norms,
+            dual_pool=False,
         )
         # intra-wave mates present at this level
         d_lev = jnp.where((wave_levels >= lev)[None, :], d_ww, _INF)

@@ -168,7 +168,7 @@ class HNSWIndex:
             q = q[None, :]
         d, slots = hnsw_search(
             self.graph, self.config, q, k, ef=ef, filter_mask=filter_mask,
-            expand=expand,
+            expand=expand, assume_all_valid=self.deleted_count == 0,
         )
         rows = jnp.where(
             slots >= 0,

@@ -32,7 +32,7 @@ from vss_tpu.ops.distance import Metric, gathered_distances
 
 __all__ = ["hnsw_search", "greedy_descent"]
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python scalar: no backend init at import
 
 
 def _gather_vectors(vectors: jax.Array, ids: jax.Array) -> jax.Array:
@@ -40,7 +40,13 @@ def _gather_vectors(vectors: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.take(vectors, jnp.maximum(ids, 0), axis=0)
 
 
-def _descent_step(graph: HNSWGraph, config: HNSWConfig, q, state):
+def _gathered_norms(x_norms, ids):
+    if x_norms is None:
+        return None
+    return jnp.take(x_norms, jnp.maximum(ids, 0), axis=0)
+
+
+def _descent_step(graph: HNSWGraph, config: HNSWConfig, q, state, x_norms, q_norms):
     """One step of batched greedy descent over upper levels."""
     lvl, cur, cur_d = state
     # upper_row column for level `lvl` is lvl-1; only meaningful when lvl>=1.
@@ -52,7 +58,8 @@ def _descent_step(graph: HNSWGraph, config: HNSWConfig, q, state):
     neigh = jnp.take(graph.upper_adj, jnp.maximum(row, 0), axis=0)  # [B, M]
     neigh = jnp.where(active[:, None], neigh, -1)
     nd = gathered_distances(
-        q, _gather_vectors(graph.vectors, neigh), config.metric
+        q, _gather_vectors(graph.vectors, neigh), config.metric,
+        _gathered_norms(x_norms, neigh), q_norms,
     )
     nd = jnp.where(neigh >= 0, nd, _INF)
     j = jnp.argmin(nd, axis=1)
@@ -72,6 +79,8 @@ def greedy_descent(
     q: jax.Array,
     stop_level: jax.Array | int = 0,
     max_iters: int = 0,
+    x_norms: Optional[jax.Array] = None,
+    q_norms: Optional[jax.Array] = None,
 ):
     """Descend from the entry point to `stop_level` (per-query or scalar).
 
@@ -82,7 +91,8 @@ def greedy_descent(
     entry = jnp.maximum(graph.entry, 0)
     cur = jnp.full((B,), entry, jnp.int32)
     cur_d = gathered_distances(
-        q, _gather_vectors(graph.vectors, cur[:, None]), config.metric
+        q, _gather_vectors(graph.vectors, cur[:, None]), config.metric,
+        _gathered_norms(x_norms, cur[:, None]), q_norms,
     )[:, 0]
     start = jnp.maximum(graph.max_level, 0)
     stop = jnp.broadcast_to(jnp.asarray(stop_level, jnp.int32), (B,))
@@ -98,7 +108,9 @@ def greedy_descent(
 
     def body(state):
         i, (lvl, cur, cur_d) = state
-        nlvl, ncur, ncur_d = _descent_step(graph, config, q, (lvl, cur, cur_d))
+        nlvl, ncur, ncur_d = _descent_step(
+            graph, config, q, (lvl, cur, cur_d), x_norms, q_norms
+        )
         # freeze queries that already reached their stop level
         frozen = lvl <= stop
         lvl = jnp.where(frozen, lvl, nlvl)
@@ -143,6 +155,9 @@ def beam_search_base(
     expand: int = 1,
     max_iters: int = 0,
     level: int = 0,
+    x_norms: Optional[jax.Array] = None,
+    q_norms: Optional[jax.Array] = None,
+    dual_pool: bool = True,
 ):
     """Beam search with pool size `ef` from per-query seed nodes.
 
@@ -157,6 +172,10 @@ def beam_search_base(
 
     Returns (res_d [B, ef] ascending, res_i [B, ef], cand_i [B, ef]):
     result pool and the raw (unfiltered) candidate pool.
+
+    dual_pool=False merges the two pools into one — valid only when every
+    reachable node is admissible (no tombstones, no filter); the hot
+    common case, one fewer sort per iteration.
     """
     B = q.shape[0]
     base = isinstance(level, int) and level == 0
@@ -199,7 +218,7 @@ def beam_search_base(
     def done_mask(cand_d, expanded, res_d):
         unexp = jnp.where(expanded, _INF, cand_d)
         unexp_min = jnp.min(unexp, axis=1)
-        worst_res = res_d[:, ef - 1]
+        worst_res = res_d[:, ef - 1] if dual_pool else cand_d[:, ef - 1]
         return (unexp_min > worst_res) | ~jnp.isfinite(unexp_min)
 
     def cond(state):
@@ -228,14 +247,18 @@ def beam_search_base(
         hist = jax.lax.dynamic_update_slice(hist, sel_ids, (0, it * E))
 
         neigh = neighbors_of(sel_ids)  # [B, E*m0]
-        known = jnp.concatenate([cand_i, hist, res_i], axis=1)
+        if dual_pool:
+            known = jnp.concatenate([cand_i, hist, res_i], axis=1)
+        else:
+            known = jnp.concatenate([cand_i, hist], axis=1)
         dup = (neigh[:, :, None] == known[:, None, :]).any(axis=2)
         neigh = jnp.where(dup | (neigh < 0), -1, neigh)
         if E > 1:
             neigh = _dedupe_keep_first(jnp.where(neigh < 0, -1, neigh))
             # -1 pads collide in dedupe; restore them as -1 (they already are)
         nd = gathered_distances(
-            q, _gather_vectors(graph.vectors, neigh), config.metric
+            q, _gather_vectors(graph.vectors, neigh), config.metric,
+            _gathered_norms(x_norms, neigh), q_norms,
         )
         nd = jnp.where(neigh >= 0, nd, _INF)
         evals = evals + jnp.sum((neigh >= 0).astype(jnp.int32))
@@ -251,15 +274,19 @@ def beam_search_base(
         new_cand_i = jnp.take_along_axis(cat_i, pos, axis=1)
         new_expanded = jnp.take_along_axis(cat_e, pos, axis=1)
 
-        # merge admissible nodes into result pool
-        ok = (neigh >= 0) & jnp.take(allow, jnp.maximum(neigh, 0))
-        rd = jnp.where(ok, nd, _INF)
-        cat_rd = jnp.concatenate([res_d, rd], axis=1)
-        cat_ri = jnp.concatenate([res_i, neigh], axis=1)
-        neg_rtop, rpos = jax.lax.top_k(-cat_rd, ef)
-        new_res_d = -neg_rtop
-        new_res_i = jnp.take_along_axis(cat_ri, rpos, axis=1)
-        new_res_i = jnp.where(jnp.isfinite(new_res_d), new_res_i, -1)
+        # merge admissible nodes into result pool (dual-pool mode only —
+        # in single-pool mode the candidate pool IS the result pool)
+        if dual_pool:
+            ok = (neigh >= 0) & jnp.take(allow, jnp.maximum(neigh, 0))
+            rd = jnp.where(ok, nd, _INF)
+            cat_rd = jnp.concatenate([res_d, rd], axis=1)
+            cat_ri = jnp.concatenate([res_i, neigh], axis=1)
+            neg_rtop, rpos = jax.lax.top_k(-cat_rd, ef)
+            new_res_d = -neg_rtop
+            new_res_i = jnp.take_along_axis(cat_ri, rpos, axis=1)
+            new_res_i = jnp.where(jnp.isfinite(new_res_d), new_res_i, -1)
+        else:
+            new_res_d, new_res_i = res_d, res_i
 
         # frozen queries keep their state
         keep = done[:, None]
@@ -276,6 +303,8 @@ def beam_search_base(
     it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = jax.lax.while_loop(
         cond, body, state
     )
+    if not dual_pool:
+        res_d, res_i = cand_d, cand_i
     # (iterations, batch-total distance evaluations) — the analog of
     # usearch's per-context measure counters (index.hpp:2213-2240), which
     # the reference collects and then discards; we surface them.
@@ -283,12 +312,24 @@ def beam_search_base(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "k", "ef", "expand", "max_iters")
+    jax.jit,
+    static_argnames=("config", "k", "ef", "expand", "max_iters", "dual_pool"),
 )
-def _hnsw_search_impl(graph, config, q, allow, k, ef, expand, max_iters):
-    seeds, seed_d = greedy_descent(graph, config, q)
+def _hnsw_search_impl(
+    graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True
+):
+    metric = Metric.parse(config.metric)
+    x_norms = q_norms = None
+    if metric in (Metric.L2SQ, Metric.COSINE):
+        # one pass over the tape, reused by every beam iteration
+        x_norms = jnp.sum(graph.vectors * graph.vectors, axis=-1)
+        q_norms = jnp.sum(q * q, axis=-1)
+    seeds, seed_d = greedy_descent(
+        graph, config, q, x_norms=x_norms, q_norms=q_norms
+    )
     res_d, res_i, _, (iters, evals) = beam_search_base(
-        graph, config, q, seeds, seed_d, ef, allow, expand, max_iters
+        graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
+        x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
     )
     out_d = res_d[:, :k]
     out_i = res_i[:, :k]
@@ -309,6 +350,7 @@ def hnsw_search(
     expand: int = 1,
     max_iters: int = 0,
     with_stats: bool = False,
+    assume_all_valid: bool = False,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -329,8 +371,12 @@ def hnsw_search(
     allow = graph.valid
     if filter_mask is not None:
         allow = allow & filter_mask
+    # single-pool fast path: every reachable node admissible (caller
+    # guarantees no tombstones via assume_all_valid; no filter given)
+    dual_pool = not (assume_all_valid and filter_mask is None)
     d, i, iters, evals = _hnsw_search_impl(
-        graph, config, q.astype(jnp.float32), allow, k, ef, expand, max_iters
+        graph, config, q.astype(jnp.float32), allow, k, ef, expand,
+        max_iters, dual_pool,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}

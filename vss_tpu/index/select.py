@@ -19,8 +19,8 @@ from vss_tpu.ops.distance import Metric, _epilogue
 
 __all__ = ["select_neighbors", "pairwise_rowwise"]
 
-_INF = jnp.float32(jnp.inf)
-_BIG = jnp.float32(1e30)
+_INF = float("inf")  # python scalar: no backend init at import
+_BIG = 1e30
 
 
 def pairwise_rowwise(vecs: jax.Array, metric) -> jax.Array:

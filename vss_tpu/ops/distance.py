@@ -168,19 +168,36 @@ def distance_one(a: jax.Array, b: jax.Array, metric) -> jax.Array:
     return pairwise(a[None, :], b[None, :], metric)[0, 0]
 
 
-def gathered_distances(q: jax.Array, cand_vecs: jax.Array, metric) -> jax.Array:
+def gathered_distances(
+    q: jax.Array,
+    cand_vecs: jax.Array,
+    metric,
+    cand_norms_sq: Optional[jax.Array] = None,
+    q_norms_sq: Optional[jax.Array] = None,
+) -> jax.Array:
     """Distances from each query to its own candidate set.
 
     q: [B, d]; cand_vecs: [B, C, d] -> [B, C] f32.
 
     Used by beam search after gathering neighbor vectors. This is a batched
     matvec (VPU-bound); the FLOPs here are small — the HBM gather that
-    produced `cand_vecs` dominates.
+    produced `cand_vecs` dominates. Passing precomputed squared norms
+    (`cand_norms_sq` [B, C], `q_norms_sq` [B]) skips the per-call norm
+    reductions — worthwhile inside beam-search loops where the database
+    norms are computed once per search.
     """
     metric = Metric.parse(metric)
     q = q.astype(jnp.float32)
     cand_vecs = cand_vecs.astype(jnp.float32)
     dots = jnp.einsum("bcd,bd->bc", cand_vecs, q, preferred_element_type=jnp.float32)
-    qn = jnp.sum(q * q, axis=-1, keepdims=True)
-    cn = jnp.sum(cand_vecs * cand_vecs, axis=-1)
+    if metric == Metric.IP:
+        return _epilogue(dots, None, None, metric)
+    if q_norms_sq is None:
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)
+    else:
+        qn = q_norms_sq[:, None].astype(jnp.float32)
+    if cand_norms_sq is None:
+        cn = jnp.sum(cand_vecs * cand_vecs, axis=-1)
+    else:
+        cn = cand_norms_sq.astype(jnp.float32)
     return _epilogue(dots, qn, cn, metric)

@@ -25,7 +25,7 @@ from vss_tpu.utils import cdiv, pad_to, round_up
 
 __all__ = ["bruteforce_topk", "merge_topk"]
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python scalar: no backend init at import
 
 
 def _choose_chunk(nx: int) -> int:

@@ -47,6 +47,16 @@ class ShardedHNSWIndex:
         self.n_shards = self.mesh.devices.size
         self.graphs: Optional[HNSWGraph] = None  # stacked: leading axis S
         self.count = 0
+        # host-side bookkeeping, per shard (mirrors HNSWIndex's)
+        S = self.n_shards
+        self.next_slot = [0] * S
+        self.upper_used = [0] * S
+        self.free_slots: list[list[int]] = [[] for _ in range(S)]
+        self.shard_deleted = [0] * S
+        self.rowid_to_loc: dict[int, tuple[int, int]] = {}  # rowid -> (shard, slot)
+        self.deleted_count = 0
+        self._insert_seed = 0
+        self._insert_counter = 0
 
     # ------------------------------------------------------------ sharding
     def _shard_spec(self):
@@ -128,8 +138,16 @@ class ShardedHNSWIndex:
                 progress(min((w + 1) * W * S, n), n)
         self.graphs = stacked
         self.count = n
+        self.next_slot = [len(p) for p in parts]
+        self.upper_used = list(next_rows)
+        for s, part in enumerate(parts):
+            for slot, row in enumerate(part):
+                self.rowid_to_loc[int(rowids[row])] = (s, slot)
+        self._insert_seed = n
+        self._insert_counter = n
         return self
 
+    @functools.lru_cache(maxsize=None)
     def _make_wave_fn(self, W: int, efc: int, expand: int, intra_k: int):
         config = self.config
 
@@ -152,12 +170,15 @@ class ShardedHNSWIndex:
 
     # ------------------------------------------------------------ search
     @functools.lru_cache(maxsize=None)
-    def _search_fn(self, k: int, ef: int, expand: int):
+    def _search_fn(self, k: int, ef: int, expand: int, all_valid: bool):
         config = self.config
 
         def per_shard(graph_blk, q):
             g = jax.tree.map(lambda x: x[0], graph_blk)
-            d, slots = hnsw_search(g, config, q, k, ef=ef, expand=expand)
+            d, slots = hnsw_search(
+                g, config, q, k, ef=ef, expand=expand,
+                assume_all_valid=all_valid,
+            )
             rows = jnp.where(
                 slots >= 0,
                 jnp.take(g.slot_to_rowid, jnp.maximum(slots, 0)),
@@ -190,4 +211,247 @@ class ShardedHNSWIndex:
         if q.ndim == 1:
             q = q[None]
         ef = max(ef or self.config.ef_search, k)
-        return self._search_fn(k, ef, expand)(self.graphs, q)
+        fn = self._search_fn(k, ef, expand, self.deleted_count == 0)
+        return fn(self.graphs, q)
+
+    # ------------------------------------------------------------ CRUD
+    def insert(self, vectors, rowids):
+        """Insert rows, balancing across shards; recycles tombstoned slots."""
+        if self.graphs is None:
+            raise ValueError("index is empty — call build() first")
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        rowids = np.asarray(rowids, np.int64)
+        n = vectors.shape[0]
+        S = self.n_shards
+        d = self.config.dims
+        for r in rowids:
+            if int(r) in self.rowid_to_loc:
+                raise ValueError(f"duplicate rowid {int(r)}")
+        levels = sample_levels(n, self.config, seed=self._insert_seed)
+        self._insert_seed += n
+        # fill tombstoned slots first (whatever shard they are on), then
+        # round-robin the rest to keep shards balanced
+        assign: list[int] = []
+        for s in range(S):
+            take = min(len(self.free_slots[s]), n - len(assign))
+            assign.extend([s] * take)
+            if len(assign) == n:
+                break
+        while len(assign) < n:
+            assign.append(self._insert_counter % S)
+            self._insert_counter += 1
+        shard_of = np.asarray(assign, np.int64)
+        # capacity check / growth
+        per_new = [int((shard_of == s).sum()) for s in range(S)]
+        need_cap = max(
+            self.next_slot[s] - len(self.free_slots[s]) + per_new[s] + 8
+            for s in range(S)
+        )
+        need_upper = max(
+            self.upper_used[s] + int(levels[shard_of == s].sum()) + 1
+            for s in range(S)
+        )
+        self._ensure_capacity(need_cap, need_upper)
+        cap = int(self.graphs.vectors.shape[1])
+
+        biggest = max(per_new) if per_new else 1
+        W = 1
+        while W < biggest:
+            W *= 2
+        wv = np.zeros((S, W, d), np.float32)
+        sl = np.zeros((S, W), np.int32)
+        lv = np.zeros((S, W), np.int32)
+        ur = np.full((S, W, self.config.max_levels), -1, np.int32)
+        rid = np.full((S, W), -1, np.int32)
+        va = np.zeros((S, W), bool)
+        for s in range(S):
+            rows = np.flatnonzero(shard_of == s)
+            cnt = len(rows)
+            slots = []
+            for _ in range(min(cnt, len(self.free_slots[s]))):
+                slots.append(self.free_slots[s].pop())
+                self.shard_deleted[s] -= 1
+                self.deleted_count -= 1
+            fresh = cnt - len(slots)
+            if fresh > 0:
+                slots.extend(
+                    range(self.next_slot[s], self.next_slot[s] + fresh)
+                )
+                self.next_slot[s] += fresh
+            if cnt:
+                wv[s, :cnt] = vectors[rows]
+                sl[s, :cnt] = slots
+                lv[s, :cnt] = levels[rows]
+                rid[s, :cnt] = rowids[rows].astype(np.int32)
+                va[s, :cnt] = True
+                for i, row in enumerate(rows):
+                    self.rowid_to_loc[int(rowids[row])] = (s, int(slots[i]))
+            # padding rows scatter into the reserved tail
+            if cnt < W:
+                sl[s, cnt:] = cap - 8 + (np.arange(W - cnt) % 7)
+            ur[s], self.upper_used[s] = plan_wave_rows(
+                lv[s], self.upper_used[s], self.config.max_levels
+            )
+        wave_fn = self._make_wave_fn(
+            W, self.config.ef_construction, 4, min(self.config.m, W)
+        )
+        spec = self._shard_spec()
+        args = [
+            jax.device_put(jnp.asarray(a), spec)
+            for a in (wv, sl, lv, ur, rid, va)
+        ]
+        self.graphs = wave_fn(self.graphs, *args)
+        self.count += n
+
+    def delete(self, rowids) -> int:
+        """Tombstone rows (graph untouched; results exclude them)."""
+        locs = []
+        for r in rowids:
+            loc = self.rowid_to_loc.pop(int(r), None)
+            if loc is not None:
+                locs.append(loc)
+        if not locs:
+            return 0
+        sh = jnp.asarray([l[0] for l in locs], jnp.int32)
+        sl = jnp.asarray([l[1] for l in locs], jnp.int32)
+        per_shard = np.bincount(
+            [l[0] for l in locs], minlength=self.n_shards
+        ).astype(np.int32)
+        self.graphs = dataclasses.replace(
+            self.graphs,
+            valid=self.graphs.valid.at[sh, sl].set(False),
+            count=self.graphs.count - jnp.asarray(per_shard),
+        )
+        for s, slot in locs:
+            self.free_slots[s].append(slot)
+            self.shard_deleted[s] += 1
+        self.deleted_count += len(locs)
+        self.count -= len(locs)
+        return len(locs)
+
+    def _ensure_capacity(self, need_cap: int, need_upper: int):
+        cap = int(self.graphs.vectors.shape[1])
+        ucap = int(self.graphs.upper_adj.shape[1])
+        new_cap, new_ucap = cap, ucap
+        while new_cap < need_cap:
+            new_cap *= 2
+        while new_ucap < need_upper:
+            new_ucap *= 2
+        if (new_cap, new_ucap) == (cap, ucap):
+            return
+
+        def pad(x, axis, n, fill):
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, n - x.shape[axis])
+            return jnp.pad(x, widths, constant_values=fill)
+
+        g = self.graphs
+        self.graphs = self._place(
+            HNSWGraph(
+                vectors=pad(g.vectors, 1, new_cap, 0.0),
+                adj0=pad(g.adj0, 1, new_cap, -1),
+                upper_adj=pad(g.upper_adj, 1, new_ucap, -1),
+                upper_row=pad(g.upper_row, 1, new_cap, -1),
+                levels=pad(g.levels, 1, new_cap, 0),
+                valid=pad(g.valid, 1, new_cap, False),
+                slot_to_rowid=pad(g.slot_to_rowid, 1, new_cap, -1),
+                entry=g.entry,
+                max_level=g.max_level,
+                count=g.count,
+            )
+        )
+
+    # ------------------------------------------------ compact / persist
+    def _extract_shard(self, s: int):
+        """Materialize shard `s` as a standalone HNSWIndex (host copy)."""
+        from vss_tpu.index.dense import HNSWIndex
+
+        host = jax.tree.map(lambda x: np.asarray(x[s]), self.graphs)
+        idx = HNSWIndex(self.config, capacity=64)
+        idx.graph = jax.tree.map(jnp.asarray, host)
+        idx.next_slot = self.next_slot[s]
+        idx.upper_used = self.upper_used[s]
+        idx.free_slots = list(self.free_slots[s])
+        idx.deleted_count = self.shard_deleted[s]
+        idx.rowid_to_slot = {
+            r: slot for r, (sh, slot) in self.rowid_to_loc.items() if sh == s
+        }
+        idx._insert_seed = self._insert_seed
+        return idx
+
+    def _restack(self, locals_) -> None:
+        from vss_tpu.index.graph import grow_graph
+
+        cap = max(l.graph.capacity for l in locals_)
+        ucap = max(l.graph.upper_capacity for l in locals_)
+        grown = [
+            grow_graph(l.graph, self.config, cap, ucap) for l in locals_
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *grown)
+        self.graphs = self._place(stacked)
+        self.next_slot = [l.next_slot for l in locals_]
+        self.upper_used = [l.upper_used for l in locals_]
+        self.free_slots = [list(l.free_slots) for l in locals_]
+        self.shard_deleted = [l.deleted_count for l in locals_]
+        self.deleted_count = sum(self.shard_deleted)
+        self.rowid_to_loc = {
+            int(r): (s, int(slot))
+            for s, l in enumerate(locals_)
+            for r, slot in l.rowid_to_slot.items()
+        }
+        self.count = sum(l.count for l in locals_)
+
+    def compact(self):
+        """Shard-local compaction (PRAGMA hnsw_compact_index analog)."""
+        if self.deleted_count == 0:
+            return
+        locals_ = [self._extract_shard(s) for s in range(self.n_shards)]
+        for l in locals_:
+            l.compact()
+        self._restack(locals_)
+
+    def save(self, path: str):
+        """Checkpoint: one stream per shard + catalog json (directory)."""
+        import json
+        import os
+
+        from vss_tpu.storage.serialize import save_index
+
+        os.makedirs(path, exist_ok=True)
+        for s in range(self.n_shards):
+            save_index(
+                self._extract_shard(s), os.path.join(path, f"shard_{s}.vss")
+            )
+        with open(os.path.join(path, "sharded.json"), "w") as f:
+            json.dump(
+                {"n_shards": self.n_shards, "config": dataclasses.asdict(self.config)},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedHNSWIndex":
+        import json
+        import os
+
+        from vss_tpu.storage.serialize import load_index
+
+        with open(os.path.join(path, "sharded.json")) as f:
+            meta = json.load(f)
+        config = HNSWConfig(**meta["config"])
+        mesh = mesh or make_mesh(meta["n_shards"])
+        if mesh.devices.size != meta["n_shards"]:
+            raise ValueError(
+                f"checkpoint has {meta['n_shards']} shards; mesh has "
+                f"{mesh.devices.size} devices"
+            )
+        self = cls(config, mesh)
+        locals_ = [
+            load_index(os.path.join(path, f"shard_{s}.vss"))
+            for s in range(meta["n_shards"])
+        ]
+        self._restack(locals_)
+        self._insert_seed = max((l._insert_seed for l in locals_), default=0)
+        self._insert_counter = self.count
+        return self
