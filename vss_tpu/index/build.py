@@ -154,7 +154,9 @@ def insert_wave(
     # ---- 1. write node data into the tapes
     g = dataclasses.replace(
         graph,
-        vectors=graph.vectors.at[slots].set(wave_vecs),
+        vectors=graph.vectors.at[slots].set(
+            wave_vecs.astype(graph.vectors.dtype)
+        ),
         levels=graph.levels.at[slots].set(jnp.where(wave_valid, wave_levels, 0)),
         upper_row=graph.upper_row.at[slots].set(
             jnp.where(wave_valid[:, None], wave_upper_rows, -1)
@@ -166,7 +168,8 @@ def insert_wave(
     )
     occupied = g.slot_to_rowid >= 0
     # norms over the updated tape, shared by every beam this wave
-    x_norms = jnp.sum(g.vectors * g.vectors, axis=-1)
+    xv = g.vectors.astype(jnp.float32)
+    x_norms = jnp.sum(xv * xv, axis=-1)
     q_norms = jnp.sum(wave_vecs * wave_vecs, axis=-1)
 
     # ---- 2. descend to each node's insertion level

@@ -53,14 +53,29 @@ class HNSWConfig:
     ef_construction: int = DEFAULT_EF_CONSTRUCTION
     ef_search: int = DEFAULT_EF_SEARCH
     max_levels: int = DEFAULT_MAX_LEVELS
+    # vector tape precision: 'f32' or 'bf16'. bf16 halves HBM traffic in
+    # the gather-bound beam search; distances still accumulate in f32.
+    # (The reference only enables FLOAT storage, hnsw_index.cpp:277-290;
+    # bf16 is the TPU-native analog of its commented-out f16 support.)
+    storage_dtype: str = "f32"
 
     def __post_init__(self):
         if self.m0 == 0:
             object.__setattr__(self, "m0", 2 * self.m)
+        if self.storage_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"storage_dtype must be 'f32' or 'bf16', got {self.storage_dtype!r}"
+            )
 
     @property
     def inv_log_m(self) -> float:
         return 1.0 / math.log(self.m)
+
+    @property
+    def vector_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.storage_dtype == "bf16" else jnp.float32
 
 
 @jax.tree_util.register_dataclass
@@ -97,7 +112,7 @@ def empty_graph(config: HNSWConfig, capacity: int, upper_capacity: Optional[int]
         upper_capacity = max(64, 4 * capacity // max(config.m - 1, 1))
     d = config.dims
     return HNSWGraph(
-        vectors=jnp.zeros((capacity, d), jnp.float32),
+        vectors=jnp.zeros((capacity, d), config.vector_dtype),
         adj0=jnp.full((capacity, config.m0), -1, jnp.int32),
         upper_adj=jnp.full((upper_capacity, config.m), -1, jnp.int32),
         upper_row=jnp.full((capacity, config.max_levels), -1, jnp.int32),

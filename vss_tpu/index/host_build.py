@@ -197,7 +197,7 @@ def host_graph_to_device(
     return HNSWGraph(
         vectors=jnp.asarray(
             np.concatenate([g.vectors[:n], np.zeros((cap - n, cfg.dims), np.float32)])
-        ),
+        ).astype(cfg.vector_dtype),
         adj0=jnp.asarray(adj0),
         upper_adj=jnp.asarray(upper_adj),
         upper_row=jnp.asarray(upper_row),

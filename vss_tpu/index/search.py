@@ -322,7 +322,8 @@ def _hnsw_search_impl(
     x_norms = q_norms = None
     if metric in (Metric.L2SQ, Metric.COSINE):
         # one pass over the tape, reused by every beam iteration
-        x_norms = jnp.sum(graph.vectors * graph.vectors, axis=-1)
+        xv = graph.vectors.astype(jnp.float32)
+        x_norms = jnp.sum(xv * xv, axis=-1)
         q_norms = jnp.sum(q * q, axis=-1)
     seeds, seed_d = greedy_descent(
         graph, config, q, x_norms=x_norms, q_norms=q_norms

@@ -426,6 +426,12 @@ def execute_sql(db: Database, text: str):
                         if not isinstance(val, int) or isinstance(val, bool):
                             raise BinderError("HNSW index 'M0' must be an integer")
                         opts["m0"] = val
+                    elif kl == "storage":
+                        if not isinstance(val, str):
+                            raise BinderError(
+                                "HNSW index 'storage' must be a string"
+                            )
+                        opts["storage"] = val
                     else:
                         raise BinderError(
                             f"Unknown option for HNSW index: '{k2}'"

@@ -214,6 +214,7 @@ class Database:
         ef_search: int = 64,
         m: int = 16,
         m0: int = 0,
+        storage: str = "f32",
         wave_size: int = 1024,
         seed: int = 0,
     ) -> IndexEntry:
@@ -242,6 +243,8 @@ class Database:
                 raise BinderError(f"HNSW index '{label}' must be an integer")
             if val < lo:
                 raise BinderError(f"HNSW index '{label}' must be at least {lo}")
+        if storage not in ("f32", "bf16"):
+            raise BinderError("HNSW index 'storage' must be one of: 'f32', 'bf16'")
         if name in self.indexes:
             raise BinderError(f"index '{name}' already exists")
         t = self.table(table)
@@ -255,6 +258,7 @@ class Database:
             m0=m0,
             ef_construction=ef_construction,
             ef_search=ef_search,
+            storage_dtype=storage,
         )
         # CREATE INDEX skips NULL rows; here: only live rows are indexed
         live = np.flatnonzero(t.row_valid)

@@ -82,7 +82,12 @@ def deserialize_index(stream: BinaryIO) -> HNSWIndex:
     config = HNSWConfig(**header["config"])
     arrays = {}
     for spec in header["arrays"]:
-        dt = np.dtype(spec["dtype"])
+        if spec["dtype"] == "bfloat16":
+            import ml_dtypes
+
+            dt = np.dtype(ml_dtypes.bfloat16)
+        else:
+            dt = np.dtype(spec["dtype"])
         shape = tuple(spec["shape"])
         nbytes = dt.itemsize * int(np.prod(shape)) if shape else dt.itemsize
         buf = stream.read(nbytes)
