@@ -364,6 +364,39 @@ class HNSWIndex:
         self.rowid_to_slot = {int(r): i for i, r in enumerate(rowids[kept])}
         self.dirty = True
 
+    # ------------------------------------------------------------- misc
+    def rename(self, old_rowid: int, new_rowid: int) -> bool:
+        """Re-key a row (usearch `rename`, index_dense.hpp:1310 analog)."""
+        slot = self.rowid_to_slot.pop(int(old_rowid), None)
+        if slot is None:
+            return False
+        if int(new_rowid) in self.rowid_to_slot:
+            self.rowid_to_slot[int(old_rowid)] = slot
+            raise ValueError(f"rowid {int(new_rowid)} already exists")
+        self.rowid_to_slot[int(new_rowid)] = slot
+        self.graph = dataclasses.replace(
+            self.graph,
+            slot_to_rowid=self.graph.slot_to_rowid.at[slot].set(
+                np.int32(new_rowid)
+            ),
+        )
+        self.dirty = True
+        return True
+
+    def clone(self) -> "HNSWIndex":
+        """Cheap copy (usearch `copy`/`fork` analog). Device arrays are
+        immutable and shared; host bookkeeping is deep-copied."""
+        other = HNSWIndex(self.config, capacity=64)
+        other.graph = self.graph
+        other.upper_used = self.upper_used
+        other.next_slot = self.next_slot
+        other.free_slots = list(self.free_slots)
+        other.rowid_to_slot = dict(self.rowid_to_slot)
+        other.deleted_count = self.deleted_count
+        other.dirty = self.dirty
+        other._insert_seed = self._insert_seed
+        return other
+
     # ------------------------------------------------------------- stats
     def stats(self) -> dict:
         """Per-level stats for pragma_hnsw_index_info

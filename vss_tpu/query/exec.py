@@ -102,6 +102,11 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
     if isinstance(node, Scan):
         return db.table(node.table).chunk()
 
+    from vss_tpu.query.ir import ChunkSource
+
+    if isinstance(node, ChunkSource):
+        return dict(node.data)
+
     if isinstance(node, Filter):
         chunk = run(node.child)
         mask = np.asarray(node.predicate.evaluate(chunk), bool)

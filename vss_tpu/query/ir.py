@@ -25,6 +25,7 @@ __all__ = [
     "Expr", "ColumnRef", "Const", "Func", "BinOp", "Not",
     "PlanNode", "Scan", "Filter", "Projection", "TopK", "Limit",
     "MinByAgg", "KNNJoin", "HNSWIndexScan", "HNSWIndexJoinNode", "BruteForceTopK",
+    "ChunkSource",
 ]
 
 
@@ -259,6 +260,17 @@ class HNSWIndexJoinNode(PlanNode):
 
     def label(self):
         return f"HNSW_INDEX_JOIN({self.table}, {self.index_name}, k={self.k})"
+
+
+@dataclasses.dataclass
+class ChunkSource(PlanNode):
+    """A materialized chunk used as a scan source (table-function results)."""
+
+    name: str
+    data: dict[str, np.ndarray]
+
+    def label(self):
+        return f"TABLE_FUNCTION({self.name})"
 
 
 @dataclasses.dataclass

@@ -253,11 +253,20 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
     p.expect_kw("FROM")
     src = p.ident()
     if p.accept_op("("):  # table function
-        p.expect_op(")")
-        if src.lower() == "pragma_hnsw_index_info":
-            return _InfoPlan()
-        raise BinderError(f"unknown table function '{src}'")
-    node: PlanNode = Scan(src)
+        args = []
+        if not p.accept_op(")"):
+            while True:
+                kind, v = p.peek()
+                if kind == "id" and p.toks[p.i + 1][1] not in ("(",):
+                    args.append(p.next()[1])  # bare identifier: table/col name
+                else:
+                    args.append(p._literal())
+                if p.accept_op(")"):
+                    break
+                p.expect_op(",")
+        node = _table_function(db, src.lower(), args)
+    else:
+        node = Scan(src)
     if p.accept_kw("WHERE"):
         node = Filter(node, p.expr())
     order = None
@@ -313,6 +322,48 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
 class _InfoPlan(PlanNode):
     def label(self):
         return "PRAGMA_HNSW_INDEX_INFO()"
+
+
+def _table_function(db: Database, name: str, args: list):
+    """FROM-clause table functions: pragma_hnsw_index_info(), and the
+    matching helpers the reference registers as SQL macros
+    (`hnsw_index_macros.cpp`): vss_join / vss_match, plus knn_join (the
+    LATERAL top-k join surface)."""
+    from vss_tpu.query.ir import ChunkSource, ColumnRef, KNNJoin, Scan
+
+    if name == "pragma_hnsw_index_info":
+        if args:
+            raise BinderError("pragma_hnsw_index_info takes no arguments")
+        return _InfoPlan()
+    if name == "vss_join":
+        from vss_tpu.query.macros import vss_join
+
+        if len(args) not in (5, 6):
+            raise BinderError(
+                "vss_join(left_table, right_table, left_col, right_col, k"
+                "[, metric])"
+            )
+        data = vss_join(db, *args[:4], int(args[4]), *args[5:])
+        return ChunkSource("vss_join", data)
+    if name == "vss_match":
+        from vss_tpu.query.macros import vss_match
+
+        if len(args) not in (4, 5):
+            raise BinderError(
+                "vss_match(right_table, query_vector, right_col, k[, metric])"
+            )
+        data = vss_match(db, args[0], args[1], args[2], int(args[3]), *args[4:])
+        return ChunkSource("vss_match", data)
+    if name == "knn_join":
+        if len(args) not in (5, 6):
+            raise BinderError(
+                "knn_join(left_table, right_table, left_col, right_col, k"
+                "[, distance_function])"
+            )
+        left, right, lcol, rcol, k = args[:5]
+        fn_name = args[5] if len(args) == 6 else "array_distance"
+        return KNNJoin(Scan(left), right, ColumnRef(lcol), rcol, int(k), fn_name)
+    raise BinderError(f"unknown table function '{name}'")
 
 
 _TYPE_MAP = {
