@@ -299,3 +299,26 @@ def test_search_stats(db):
     )
     assert stats["iterations"] > 0
     assert stats["distance_evals"] > 0
+
+
+def test_filter_pushdown_setting(db):
+    """With hnsw_pushdown_filters on, the scan returns k rows that all
+    match the predicate (unlike the reference's post-filter)."""
+    from vss_tpu.query.ir import BinOp
+
+    db.set_setting("hnsw_pushdown_filters", True)
+    q = (
+        db.query("items")
+        .filter(BinOp(">", col("id"), const(700)))
+        .order_by(dist_q([5, 5, 5]))
+        .limit(3)
+        .select("id")
+    )
+    plan = q.explain()
+    assert "filtered" in plan
+    res = q.execute()
+    assert len(res["id"]) == 3          # full k despite the selective filter
+    assert all(res["id"] > 700)
+    # parity: must equal exact filtered brute force
+    ref = q.execute_unoptimized()
+    assert set(res["id"]) == set(ref["id"])

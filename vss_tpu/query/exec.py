@@ -45,7 +45,10 @@ def _bucket(n: int) -> int:
     return max(b, 1)
 
 
-def _search_index(db: Database, index_name: str, queries: np.ndarray, k: int):
+def _search_index(
+    db: Database, index_name: str, queries: np.ndarray, k: int,
+    filter_mask=None,
+):
     """Batched index search with ef from the hnsw_ef_search setting
     (`hnsw_index.cpp:318-329`: per-scan ef = max(setting, index default))."""
     entry = db.indexes[index_name]
@@ -55,7 +58,7 @@ def _search_index(db: Database, index_name: str, queries: np.ndarray, k: int):
     Bp = _bucket(B)
     qp = np.zeros((Bp, queries.shape[1]), np.float32)
     qp[:B] = queries
-    d, rows = entry.index.search(qp, k=k, ef=ef)
+    d, rows = entry.index.search(qp, k=k, ef=ef, filter_mask=filter_mask)
     return np.asarray(d)[:B], np.asarray(rows)[:B]
 
 
@@ -146,7 +149,20 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         entry = db.indexes[node.index_name]
         t = db.table(node.table)
         q = np.asarray(node.query, np.float32)[None, :]
-        _, rows = _search_index(db, node.index_name, q, node.k)
+        filter_mask = None
+        if node.pushed_filter is not None:
+            # evaluate predicate over the table, lift to a slot mask
+            chunk = t.chunk()
+            ok = np.asarray(node.pushed_filter.evaluate(chunk), bool)
+            allowed = set(chunk["__rowid__"][ok].tolist())
+            srow = np.asarray(entry.index.graph.slot_to_rowid)
+            mask = np.fromiter(
+                (int(r) in allowed for r in srow), bool, len(srow)
+            )
+            filter_mask = jnp.asarray(mask)
+        _, rows = _search_index(
+            db, node.index_name, q, node.k, filter_mask=filter_mask
+        )
         rows = rows[0]
         return t.fetch(rows[rows >= 0])
 

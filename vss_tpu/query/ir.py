@@ -234,15 +234,26 @@ class KNNJoin(PlanNode):
 @dataclasses.dataclass
 class HNSWIndexScan(PlanNode):
     """Index scan substituted by the optimizer (HNSW_INDEX_SCAN analog,
-    `src/hnsw/hnsw_index_scan.cpp`)."""
+    `src/hnsw/hnsw_index_scan.cpp`).
+
+    `pushed_filter` (set only under the hnsw_pushdown_filters setting) is
+    evaluated into a row mask and searched with usearch-style
+    `filtered_search` semantics — the index then returns k rows that all
+    satisfy the predicate, instead of the reference's post-filter (which
+    may yield fewer than k). The reference's scan explicitly does NOT
+    support filter pushdown (`hnsw_index_scan.cpp:170-185`)."""
 
     table: str
     index_name: str
     query: np.ndarray
     k: int
+    pushed_filter: Optional[Expr] = None
 
     def label(self):
-        return f"HNSW_INDEX_SCAN({self.table}, {self.index_name}, k={self.k})"
+        extra = f", filtered({self.pushed_filter})" if self.pushed_filter else ""
+        return (
+            f"HNSW_INDEX_SCAN({self.table}, {self.index_name}, k={self.k}{extra})"
+        )
 
 
 @dataclasses.dataclass

@@ -179,7 +179,19 @@ def _rewrite_topk(db: Database, node: TopK) -> Optional[PlanNode]:
         return None
     entry = _find_index(db, scan.table, col, fn_name, qv.shape[0])
     if entry is not None:
-        new: PlanNode = HNSWIndexScan(scan.table, entry.name, qv, node.k)
+        if filters and db.settings.get("hnsw_pushdown_filters"):
+            # push the conjunction into the scan (filtered_search); keep
+            # the filters above as a cheap recheck
+            pred = filters[0]
+            for f in filters[1:]:
+                from vss_tpu.query.ir import BinOp as _BinOp
+
+                pred = _BinOp("and", pred, f)
+            new: PlanNode = HNSWIndexScan(
+                scan.table, entry.name, qv, node.k, pushed_filter=pred
+            )
+        else:
+            new = HNSWIndexScan(scan.table, entry.name, qv, node.k)
     else:
         # exact MXU fallback — only safe with no filters below the TopN
         # (the brute-force operator applies k before filters would run)

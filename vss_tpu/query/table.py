@@ -174,6 +174,10 @@ class Database:
         self.settings: dict[str, Any] = {
             "hnsw_ef_search": 0,
             "hnsw_enable_experimental_persistence": False,
+            # extension beyond the reference: push WHERE predicates into
+            # the index scan (filtered_search) so k matching rows come
+            # back, instead of post-filtering the k nearest
+            "hnsw_pushdown_filters": False,
         }
         self.path = path  # set -> "disk-backed" (persistence gate applies)
 
