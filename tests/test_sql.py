@@ -144,3 +144,30 @@ def test_checkpoint_sql(db, tmp_path):
         "SELECT id FROM items ORDER BY array_distance(vec, [5.0,5.0,5.0]) LIMIT 1"
     )
     assert res["id"][0] == 5 * 81 + 5 * 9 + 5
+
+
+def test_count_and_aggregates(db):
+    r = db.sql("SELECT count(*) FROM items")
+    assert r["count"][0] == 729
+    r = db.sql("SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM items WHERE id < 10")
+    assert (r["n"][0], r["lo"][0], r["hi"][0]) == (10, 0, 9)
+    r = db.sql("SELECT sum(id) FROM items WHERE id < 4")
+    assert r["sum"][0] == 6
+
+
+def test_null_vectors(db):
+    """NULL vectors: skipped at index build, skipped on insert, never
+    returned by scans (reference IS NOT NULL + Construct-skip semantics)."""
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    db.insert("items", {"id": [9001, 9002], "vec": [None, [50.0, 50.0, 50.0]]})
+    info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
+    assert info["count"][0] == 730  # only the non-null row was indexed
+    r = db.sql(
+        "SELECT id FROM items ORDER BY array_distance(vec, [50.0,50.0,50.0]) LIMIT 1"
+    )
+    assert r["id"][0] == 9002
+    # brute-force path also excludes the null row
+    db2_res = db.sql(
+        "SELECT count(*) FROM items WHERE id = 9001"
+    )
+    assert db2_res["count"][0] == 1  # row exists in the table itself

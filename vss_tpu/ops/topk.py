@@ -52,6 +52,7 @@ def _bruteforce_topk_impl(q, x, valid, k, metric_name, chunk, use_pallas_tiles):
         x_chunk, v_chunk, c_idx = inp
         d = pair(q, x_chunk, metric)  # [nq, chunk]
         d = jnp.where(v_chunk[None, :], d, _INF)
+        d = jnp.where(jnp.isnan(d), _INF, d)  # NULL queries -> no matches
         ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         ids = jnp.broadcast_to(ids, (nq, chunk))
         cat_d = jnp.concatenate([best_d, d], axis=1)

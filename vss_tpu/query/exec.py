@@ -38,6 +38,15 @@ from vss_tpu.query.table import Database
 __all__ = ["run_plan", "explain_analyze"]
 
 
+def _is_null(vals: np.ndarray) -> np.ndarray:
+    if vals.dtype.kind == "f":
+        nan = np.isnan(vals)
+        return nan.any(axis=1) if vals.ndim == 2 else nan
+    if vals.dtype == object:
+        return np.asarray([v is None for v in vals])
+    return np.zeros(len(vals), bool)
+
+
 def _bucket(n: int) -> int:
     b = 1
     while b < n:
@@ -105,10 +114,33 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
     if isinstance(node, Scan):
         return db.table(node.table).chunk()
 
-    from vss_tpu.query.ir import ChunkSource
+    from vss_tpu.query.ir import ChunkSource, SimpleAggregate
 
     if isinstance(node, ChunkSource):
         return dict(node.data)
+
+    if isinstance(node, SimpleAggregate):
+        chunk = run(node.child)
+        n = len(next(iter(chunk.values()))) if chunk else 0
+        out = {}
+        for name, (fn, arg) in node.items.items():
+            if fn == "count" and arg is None:
+                out[name] = np.asarray([n])
+                continue
+            vals = np.asarray(arg.evaluate(chunk)) if n else np.asarray([])
+            if fn == "count":
+                out[name] = np.asarray([int(np.sum(~_is_null(vals)))])
+            elif fn == "sum":
+                out[name] = np.asarray([vals.sum() if n else None])
+            elif fn == "avg":
+                out[name] = np.asarray([vals.mean() if n else None])
+            elif fn == "min":
+                out[name] = np.asarray([vals.min() if n else None])
+            elif fn == "max":
+                out[name] = np.asarray([vals.max() if n else None])
+            else:
+                raise NotImplementedError(f"aggregate '{fn}'")
+        return out
 
     if isinstance(node, Filter):
         chunk = run(node.child)
@@ -191,7 +223,11 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             out.update({f"r_{c}": v[:0] for c, v in t.chunk().items()})
             out["row_number"] = np.zeros(0, np.int64)
             return out
-        _, rows = _search_index(db, node.index_name, queries, node.k)
+        _, rows = _search_index(
+            db, node.index_name, np.nan_to_num(queries), node.k
+        )
+        # NULL outer vectors produce no matches
+        rows = np.where(np.isnan(queries).any(1)[:, None], -1, rows)
         # expand: left row i repeated per valid match, with 1-based rank
         # (the reference emits a row_number column, hnsw_optimize_join.cpp:130)
         valid = rows >= 0
@@ -221,11 +257,12 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             return out
         Bp = _bucket(nL)
         qp = np.zeros((Bp, queries.shape[1]), np.float32)
-        qp[:nL] = queries
+        qp[:nL] = np.nan_to_num(queries)
         d, slots = bruteforce_topk(
             jnp.asarray(qp), vecs, node.k, fdef.index_metric, valid_mask=valid
         )
         slots = np.asarray(slots)[:nL]
+        slots = np.where(np.isnan(queries).any(1)[:, None], -1, slots)
         valid_m = slots >= 0
         counts = valid_m.sum(1)
         left_sel = np.repeat(np.arange(nL), counts)

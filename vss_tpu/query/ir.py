@@ -26,6 +26,7 @@ __all__ = [
     "PlanNode", "Scan", "Filter", "Projection", "TopK", "Limit",
     "MinByAgg", "KNNJoin", "HNSWIndexScan", "HNSWIndexJoinNode", "BruteForceTopK",
     "ChunkSource",
+    "SimpleAggregate",
 ]
 
 
@@ -271,6 +272,24 @@ class HNSWIndexJoinNode(PlanNode):
 
     def label(self):
         return f"HNSW_INDEX_JOIN({self.table}, {self.index_name}, k={self.k})"
+
+
+@dataclasses.dataclass
+class SimpleAggregate(PlanNode):
+    """Ungrouped aggregates: count(*)/count/sum/min/max/avg -> one row."""
+
+    child: PlanNode
+    items: dict[str, tuple[str, Optional[Expr]]]  # out -> (agg fn, arg)
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        parts = ", ".join(
+            f"{fn}({arg if arg is not None else '*'})"
+            for fn, arg in self.items.values()
+        )
+        return f"AGG({parts})"
 
 
 @dataclasses.dataclass

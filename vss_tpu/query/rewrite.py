@@ -289,8 +289,10 @@ def _optimize_node(db: Database, node: PlanNode) -> PlanNode:
             _optimize_node(db, node.left), node.table, node.index_name,
             node.left_vector, node.k,
         )
-    from vss_tpu.query.ir import Limit
+    from vss_tpu.query.ir import Limit, SimpleAggregate
 
     if isinstance(node, Limit):
         return Limit(_optimize_node(db, node.child), node.k)
+    if isinstance(node, SimpleAggregate):
+        return SimpleAggregate(_optimize_node(db, node.child), node.items)
     return node

@@ -196,6 +196,9 @@ class _Parser:
             name = self.next()[1]
             if self.accept_op("("):
                 args = []
+                if self.accept_op("*"):  # count(*)
+                    self.expect_op(")")
+                    return Func(name.lower(), [Const("*")])
                 if not self.accept_op(")"):
                     args.append(self.expr())
                     while self.accept_op(","):
@@ -297,6 +300,23 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             raise BinderError("min_by(value, order, k) requires constant k")
         out = items[0][0] or "min_by"
         return MinByAgg(node, f.args[0], f.args[1], int(f.args[2].value), out)
+
+    # ungrouped simple aggregates: count(*)/count/sum/min/max/avg
+    _AGGS = ("count", "sum", "min", "max", "avg")
+    if items and all(
+        e is not None and isinstance(e, Func) and e.name in _AGGS
+        for _, e in items
+    ):
+        from vss_tpu.query.ir import SimpleAggregate
+
+        agg_items = {}
+        for alias, e in items:
+            arg = e.args[0] if e.args else None
+            if isinstance(arg, Const) and arg.value == "*":
+                arg = None
+            name = alias or f"{e.name}"
+            agg_items[name] = (e.name, arg)
+        return SimpleAggregate(node, agg_items)
 
     if order is not None and limit is not None:
         node = TopK(node, order, limit, ascending)

@@ -85,14 +85,22 @@ class Table:
         self._device_cache.clear()
 
     def device_column(self, name: str):
-        """Vector column + validity as device arrays (cached per version)."""
+        """Vector column + validity as device arrays (cached per version).
+        NULL vectors (NaN rows) are excluded from validity, mirroring the
+        reference's IS NOT NULL handling."""
         key = name
         if key not in self._device_cache:
+            col = self.columns[name]
+            valid = self.row_valid & ~np.isnan(col).any(axis=1)
             self._device_cache[key] = (
-                jnp.asarray(self.columns[name]),
-                jnp.asarray(self.row_valid),
+                jnp.asarray(np.nan_to_num(col)),
+                jnp.asarray(valid),
             )
         return self._device_cache[key]
+
+    def vector_null_mask(self, name: str) -> np.ndarray:
+        """True where the vector is NULL (stored as an all/any-NaN row)."""
+        return np.isnan(self.columns[name]).any(axis=1)
 
     # ------------------------------------------------------------ access
     def chunk(self, positions: Optional[np.ndarray] = None) -> dict[str, np.ndarray]:
@@ -130,6 +138,13 @@ class Table:
             )
         n = None
         for cname, vals in data.items():
+            if self.columns[cname].ndim == 2 and isinstance(vals, (list, tuple)):
+                # allow None entries for NULL vectors (stored as NaN rows)
+                dims = self.columns[cname].shape[1]
+                vals = [
+                    np.full(dims, np.nan, np.float32) if v is None else v
+                    for v in vals
+                ]
             arr = np.asarray(vals)
             if self.columns[cname].ndim == 2:
                 arr = arr.astype(np.float32)
@@ -264,8 +279,9 @@ class Database:
             ef_search=ef_search,
             storage_dtype=storage,
         )
-        # CREATE INDEX skips NULL rows; here: only live rows are indexed
-        live = np.flatnonzero(t.row_valid)
+        # CREATE INDEX skips NULL rows (the planner's IS NOT NULL filter,
+        # hnsw_index_plan.cpp:101-139): only live non-NULL rows are indexed
+        live = np.flatnonzero(t.row_valid & ~t.vector_null_mask(column))
         idx = HNSWIndex.build(
             t.columns[column][live],
             cfg,
@@ -294,8 +310,13 @@ class Database:
         t = self.table(table)
         new_ids = t.append(data)
         for e in self.indexes_on(table):
-            vecs = t.columns[e.column][t.positions_of_rowids(new_ids)]
-            e.index.insert(vecs, new_ids)
+            pos = t.positions_of_rowids(new_ids)
+            vecs = t.columns[e.column][pos]
+            # NULL vectors are skipped, like HNSWIndex::Construct
+            # (`hnsw_index.cpp:467-470`)
+            ok = ~np.isnan(vecs).any(axis=1)
+            if ok.any():
+                e.index.insert(vecs[ok], new_ids[ok])
         return new_ids
 
     def delete(self, table: str, rowids: Sequence[int]) -> int:
