@@ -238,11 +238,17 @@ def insert_wave(
         return adj, seeds, seed_d
 
     def upper_body(i, carry):
-        upper_adj, seeds, seed_d = carry
         lev = config.max_levels - i  # Lmax .. 1
-        g_cur = dataclasses.replace(g, upper_adj=upper_adj)
-        new_upper, seeds, seed_d = level_step(g_cur, lev, seeds, seed_d)
-        return new_upper, seeds, seed_d
+
+        def do(carry):
+            upper_adj, seeds, seed_d = carry
+            g_cur = dataclasses.replace(g, upper_adj=upper_adj)
+            return level_step(g_cur, lev, seeds, seed_d)
+
+        # most waves have no nodes at high levels — skip the whole level
+        # (beam + select + backlinks) when nothing is active there
+        any_active = jnp.any(wave_valid & (wave_levels >= lev))
+        return jax.lax.cond(any_active, do, lambda c: c, carry)
 
     upper_adj, seeds, seed_d = jax.lax.fori_loop(
         0, config.max_levels, upper_body, (g.upper_adj, seeds, seed_d)
