@@ -34,6 +34,27 @@ def _choose_chunk(nx: int) -> int:
     return min(round_up(nx, 512), 65536)
 
 
+def _iter_min_k(d: jax.Array, k: int):
+    """Exact smallest-k by k passes of (argmin, mask): O(k*C) VPU work
+    instead of a width-C sort — much faster than lax.top_k on TPU for the
+    small k / very wide rows shape of a brute-force scan chunk."""
+    B = d.shape[0]
+    rows = jnp.arange(B)
+    vals, idxs = [], []
+    cur = d
+    for _ in range(k):
+        i = jnp.argmin(cur, axis=1).astype(jnp.int32)
+        v = jnp.take_along_axis(cur, i[:, None], axis=1)[:, 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = cur.at[rows, i].set(_INF)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
+# beyond this k, one sort beats k argmin passes
+_ITER_K_MAX = 32
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric_name", "chunk", "use_pallas_tiles")
 )
@@ -53,6 +74,14 @@ def _bruteforce_topk_impl(q, x, valid, k, metric_name, chunk, use_pallas_tiles):
         d = pair(q, x_chunk, metric)  # [nq, chunk]
         d = jnp.where(v_chunk[None, :], d, _INF)
         d = jnp.where(jnp.isnan(d), _INF, d)  # NULL queries -> no matches
+        if k <= _ITER_K_MAX:
+            cd, ci_local = _iter_min_k(d, k)
+            ci = c_idx * chunk + ci_local
+            cat_d = jnp.concatenate([best_d, cd], axis=1)
+            cat_i = jnp.concatenate([best_i, ci], axis=1)
+            # stable merge of two sorted-ish lists, tiny width
+            neg_top, pos = jax.lax.top_k(-cat_d, k)
+            return (-neg_top, jnp.take_along_axis(cat_i, pos, axis=1)), None
         ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         ids = jnp.broadcast_to(ids, (nq, chunk))
         cat_d = jnp.concatenate([best_d, d], axis=1)
