@@ -80,7 +80,8 @@ def main():
     DEL_FRAC = float(os.environ.get("VSS_BENCH_DELETES", 0))
     METRIC = os.environ.get("VSS_BENCH_METRIC", "l2sq")
     STORAGE = os.environ.get("VSS_BENCH_STORAGE", "f32")
-    QBATCH = 512
+    QBATCH = int(os.environ.get("VSS_BENCH_QBATCH", 256))
+    ESEARCH = int(os.environ.get("VSS_BENCH_ESEARCH", 2))
 
     log(f"[bench] backend={jax.default_backend()} N={N} D={D} NQ={NQ} K={K} EF={EF}")
     rng = np.random.default_rng(0)
@@ -131,7 +132,7 @@ def main():
     graph, config = idx.graph, idx.config
 
     def search_batch(qb):
-        d, slots = hnsw_search(graph, config, qb, k=K, ef=EF)
+        d, slots = hnsw_search(graph, config, qb, k=K, ef=EF, expand=ESEARCH)
         rows = jnp.where(
             slots >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(slots, 0)), -1
         )
