@@ -91,12 +91,19 @@ def _epilogue(dots, qn, xn, metric: Metric):
 
 
 def pairwise(q: jax.Array, x: jax.Array, metric) -> jax.Array:
-    """[nq, d] x [nx, d] -> [nq, nx] distances, f32. Pure-XLA path."""
+    """[nq, d] x [nx, d] -> [nq, nx] distances, f32. Pure-XLA path.
+
+    The dot runs at HIGHEST precision: this is the EXACT scan path, and
+    the l2sq form |q|^2+|x|^2-2qx cancels catastrophically — on the MXU's
+    default reduced-precision f32 path the error reorders near-tied
+    neighbors (measured ~8% top-10 churn on clustered data)."""
     metric = Metric.parse(metric)
     q = q.astype(jnp.float32)
     x = x.astype(jnp.float32)
     dots = jax.lax.dot_general(
-        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     qn = jnp.sum(q * q, axis=-1, keepdims=True)
     xn = jnp.sum(x * x, axis=-1, keepdims=True).T
@@ -107,7 +114,9 @@ def _pairwise_kernel(q_ref, x_ref, o_ref, *, metric: Metric):
     qt = q_ref[:]
     xt = x_ref[:]
     dots = jax.lax.dot_general(
-        qt, xt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qt, xt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     qn = jnp.sum(qt * qt, axis=-1, keepdims=True)
     xn = jnp.sum(xt * xt, axis=-1, keepdims=True)
