@@ -158,6 +158,7 @@ def beam_search_base(
     x_norms: Optional[jax.Array] = None,
     q_norms: Optional[jax.Array] = None,
     dual_pool: bool = True,
+    use_history: bool = True,
 ):
     """Beam search with pool size `ef` from per-query seed nodes.
 
@@ -176,6 +177,11 @@ def beam_search_base(
     dual_pool=False merges the two pools into one — valid only when every
     reachable node is admissible (no tombstones, no filter); the hot
     common case, one fewer sort per iteration.
+
+    use_history=False drops the expansion-history array: novelty is then
+    tested against the pools only, so a node evicted from the pool can be
+    re-scored and (rarely) re-expanded — bounded wasted work, fewer ops
+    per iteration.
     """
     B = q.shape[0]
     base = isinstance(level, int) and level == 0
@@ -183,7 +189,7 @@ def beam_search_base(
     E = expand
     if max_iters <= 0:
         max_iters = 4 + (2 * ef) // E
-    hist_len = max_iters * E
+    hist_len = max_iters * E if use_history else 1
 
     cand_d = jnp.full((B, ef), _INF).at[:, 0].set(seed_d)
     cand_i = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(seeds)
@@ -221,36 +227,39 @@ def beam_search_base(
         worst_res = res_d[:, ef - 1] if dual_pool else cand_d[:, ef - 1]
         return (unexp_min > worst_res) | ~jnp.isfinite(unexp_min)
 
+    pool_pos = jax.lax.broadcasted_iota(jnp.int32, (B, ef), 1)
+
     def cond(state):
-        it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = state
-        return (it < max_iters) & ~jnp.all(done_mask(cand_d, expanded, res_d))
+        it, evals, done, *_ = state
+        return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = state
-        done = done_mask(cand_d, expanded, res_d)
-        # pick E best unexpanded candidates per query
-        key = jnp.where(expanded, _INF, cand_d)
-        key = jnp.where(done[:, None], _INF, key)
-        _, sel_pos = jax.lax.top_k(-key, E)  # [B, E] pool positions
-        sel_key = jnp.take_along_axis(key, sel_pos, axis=1)
-        sel_ids = jnp.where(
-            jnp.isfinite(sel_key),
-            jnp.take_along_axis(cand_i, sel_pos, axis=1),
-            -1,
-        )
-        # mark selected as expanded (one-hot over pool positions)
-        pool_pos = jax.lax.broadcasted_iota(jnp.int32, (B, ef), 1)
-        sel_mask = (pool_pos[:, :, None] == sel_pos[:, None, :]) & jnp.isfinite(
-            sel_key
-        )[:, None, :]
-        expanded = expanded | sel_mask.any(axis=2)
-        hist = jax.lax.dynamic_update_slice(hist, sel_ids, (0, it * E))
+        it, evals, done, cand_d, cand_i, expanded, res_d, res_i, hist = state
+        # pick E best unexpanded candidates per query: E passes of
+        # (argmin + mask) — cheaper than a width-ef sort for small E
+        key = jnp.where(expanded | done[:, None], _INF, cand_d)
+        sel_ids_list = []
+        for _ in range(E):
+            p = jnp.argmin(key, axis=1)
+            v = jnp.take_along_axis(key, p[:, None], axis=1)[:, 0]
+            hit = jnp.isfinite(v)
+            sel_ids_list.append(
+                jnp.where(hit, jnp.take_along_axis(cand_i, p[:, None], axis=1)[:, 0], -1)
+            )
+            one_hot = pool_pos == p[:, None]
+            expanded = expanded | (one_hot & hit[:, None])
+            key = jnp.where(one_hot, _INF, key)
+        sel_ids = jnp.stack(sel_ids_list, axis=1)  # [B, E]
+        if use_history:
+            hist = jax.lax.dynamic_update_slice(hist, sel_ids, (0, it * E))
 
         neigh = neighbors_of(sel_ids)  # [B, E*m0]
+        known_parts = [cand_i]
+        if use_history:
+            known_parts.append(hist)
         if dual_pool:
-            known = jnp.concatenate([cand_i, hist, res_i], axis=1)
-        else:
-            known = jnp.concatenate([cand_i, hist], axis=1)
+            known_parts.append(res_i)
+        known = jnp.concatenate(known_parts, axis=1)
         dup = (neigh[:, :, None] == known[:, None, :]).any(axis=2)
         neigh = jnp.where(dup | (neigh < 0), -1, neigh)
         if E > 1:
@@ -295,14 +304,17 @@ def beam_search_base(
         expanded = jnp.where(keep, expanded, new_expanded)
         res_d = jnp.where(keep, res_d, new_res_d)
         res_i = jnp.where(keep, res_i, new_res_i)
-        return it + 1, evals, cand_d, cand_i, expanded, res_d, res_i, hist
+        done = done | done_mask(cand_d, expanded, res_d)
+        return it + 1, evals, done, cand_d, cand_i, expanded, res_d, res_i, hist
 
+    done0 = done_mask(cand_d, expanded, res_d)
     state = (
-        jnp.int32(0), jnp.int32(0), cand_d, cand_i, expanded, res_d, res_i, hist
+        jnp.int32(0), jnp.int32(0), done0, cand_d, cand_i, expanded,
+        res_d, res_i, hist,
     )
-    it, evals, cand_d, cand_i, expanded, res_d, res_i, hist = jax.lax.while_loop(
-        cond, body, state
-    )
+    (
+        it, evals, _done, cand_d, cand_i, expanded, res_d, res_i, hist
+    ) = jax.lax.while_loop(cond, body, state)
     if not dual_pool:
         res_d, res_i = cand_d, cand_i
     # (iterations, batch-total distance evaluations) — the analog of
@@ -313,10 +325,13 @@ def beam_search_base(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "k", "ef", "expand", "max_iters", "dual_pool"),
+    static_argnames=(
+        "config", "k", "ef", "expand", "max_iters", "dual_pool", "use_history"
+    ),
 )
 def _hnsw_search_impl(
-    graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True
+    graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
+    use_history=True,
 ):
     metric = Metric.parse(config.metric)
     x_norms = q_norms = None
@@ -331,6 +346,7 @@ def _hnsw_search_impl(
     res_d, res_i, _, (iters, evals) = beam_search_base(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
         x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
+        use_history=use_history,
     )
     out_d = res_d[:, :k]
     out_i = res_i[:, :k]
@@ -352,6 +368,7 @@ def hnsw_search(
     max_iters: int = 0,
     with_stats: bool = False,
     assume_all_valid: bool = False,
+    use_history: bool = True,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -377,7 +394,7 @@ def hnsw_search(
     dual_pool = not (assume_all_valid and filter_mask is None)
     d, i, iters, evals = _hnsw_search_impl(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
-        max_iters, dual_pool,
+        max_iters, dual_pool, use_history,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}
