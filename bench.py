@@ -80,7 +80,7 @@ def main():
     DEL_FRAC = float(os.environ.get("VSS_BENCH_DELETES", 0))
     METRIC = os.environ.get("VSS_BENCH_METRIC", "l2sq")
     STORAGE = os.environ.get("VSS_BENCH_STORAGE", "f32")
-    QBATCH = int(os.environ.get("VSS_BENCH_QBATCH", 256))
+    QBATCH = int(os.environ.get("VSS_BENCH_QBATCH", 512))
     ESEARCH = int(os.environ.get("VSS_BENCH_ESEARCH", 2))
 
     log(f"[bench] backend={jax.default_backend()} N={N} D={D} NQ={NQ} K={K} EF={EF}")
