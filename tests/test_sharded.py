@@ -112,3 +112,50 @@ def test_sharded_duplicate_rowid(rng):
     idx = ShardedHNSWIndex.build(vecs, HNSWConfig(dims=8), make_mesh(2), wave_size=32)
     with pytest.raises(ValueError, match="duplicate rowid"):
         idx.insert(vecs[:1], [5])
+
+
+def test_sharded_index_in_database(rng, tmp_path):
+    """CREATE INDEX ... WITH (sharded = TRUE): query-layer integration."""
+    from vss_tpu import Database
+
+    db = Database()
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    db.create_table("t", {"id": np.arange(400), "vec": vecs})
+    db.sql("CREATE INDEX si ON t USING HNSW (vec) WITH (sharded = TRUE)")
+    from vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+    assert isinstance(db.indexes["si"].index, ShardedHNSWIndex)
+    vec_lit = "[" + ",".join(f"{x:.4f}" for x in vecs[7]) + "]"
+    exp = db.sql(f"EXPLAIN SELECT id FROM t ORDER BY array_distance(vec, {vec_lit}) LIMIT 1")
+    assert "HNSW_INDEX_SCAN" in exp["explain"][0]
+    r = db.sql(f"SELECT id FROM t ORDER BY array_distance(vec, {vec_lit}) LIMIT 1")
+    assert r["id"][0] == 7
+    # DML maintenance through the sharded index
+    db.insert("t", {"id": [900], "vec": (vecs[:1] + 50.0)})
+    r = db.query("t").order_by(
+        __import__("vss_tpu").fn("array_distance",
+                                 __import__("vss_tpu").col("vec"),
+                                 __import__("vss_tpu").const(vecs[0] + 50.0))
+    ).limit(1).select("id").execute()
+    assert r["id"][0] == 900
+    db.delete("t", [900])
+    # info + compact pragmas
+    info = db.hnsw_index_info()
+    assert info[0]["n_shards"] == 8
+    db.hnsw_compact_index("si")
+    # persistence: directory checkpoint
+    db.set_setting("hnsw_enable_experimental_persistence", True)
+    p = str(tmp_path / "sharded_db")
+    db.checkpoint(p)
+    db2 = Database.open(p)
+    r = db2.sql(f"SELECT id FROM t ORDER BY array_distance(vec, {vec_lit}) LIMIT 1")
+    assert r["id"][0] == 7
+    # single-file checkpoint too (if toolchain present)
+    from vss_tpu.storage.blockfile import blockstore_available
+
+    if blockstore_available():
+        p2 = str(tmp_path / "sharded.vssdb")
+        db.checkpoint(p2)
+        db3 = Database.open(p2)
+        r = db3.sql(f"SELECT id FROM t ORDER BY array_distance(vec, {vec_lit}) LIMIT 1")
+        assert r["id"][0] == 7

@@ -51,6 +51,8 @@ def _wave_bucket(n: int, cap: int = 1024) -> int:
 class HNSWIndex:
     """A single-shard HNSW index over fixed-dimension float vectors."""
 
+    supports_filter_pushdown = True
+
     def __init__(self, config: HNSWConfig, capacity: int = 1024):
         self.config = config
         capacity = max(capacity, 64)

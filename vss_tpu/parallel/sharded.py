@@ -57,6 +57,10 @@ class ShardedHNSWIndex:
         self.deleted_count = 0
         self._insert_seed = 0
         self._insert_counter = 0
+        self.dirty = False
+
+    # the per-slot filter-mask surface only exists on single-shard indexes
+    supports_filter_pushdown = False
 
     # ------------------------------------------------------------ sharding
     def _shard_spec(self):
@@ -138,6 +142,7 @@ class ShardedHNSWIndex:
                 progress(min((w + 1) * W * S, n), n)
         self.graphs = stacked
         self.count = n
+        self.dirty = True
         self.next_slot = [len(p) for p in parts]
         self.upper_used = list(next_rows)
         for s, part in enumerate(parts):
@@ -203,8 +208,13 @@ class ShardedHNSWIndex:
         )
         return jax.jit(fn)
 
-    def search(self, queries, k: int, ef: Optional[int] = None, expand: int = 1):
+    def search(self, queries, k: int, ef: Optional[int] = None,
+               expand: int = 1, filter_mask=None):
         """Broadcast batched search; returns (dists [B,k], rowids [B,k])."""
+        if filter_mask is not None:
+            raise NotImplementedError(
+                "sharded indexes do not support slot filter masks"
+            )
         if self.graphs is None:
             raise ValueError("index is empty — call build() first")
         q = jnp.asarray(np.asarray(queries, np.float32))
@@ -304,6 +314,7 @@ class ShardedHNSWIndex:
         ]
         self.graphs = wave_fn(self.graphs, *args)
         self.count += n
+        self.dirty = True
 
     def delete(self, rowids) -> int:
         """Tombstone rows (graph untouched; results exclude them)."""
@@ -329,6 +340,7 @@ class ShardedHNSWIndex:
             self.shard_deleted[s] += 1
         self.deleted_count += len(locs)
         self.count -= len(locs)
+        self.dirty = True
         return len(locs)
 
     def _ensure_capacity(self, need_cap: int, need_upper: int):
@@ -411,6 +423,7 @@ class ShardedHNSWIndex:
         for l in locals_:
             l.compact()
         self._restack(locals_)
+        self.dirty = True
 
     def save(self, path: str):
         """Checkpoint: one stream per shard + catalog json (directory)."""
@@ -429,6 +442,38 @@ class ShardedHNSWIndex:
                 {"n_shards": self.n_shards, "config": dataclasses.asdict(self.config)},
                 f,
             )
+        self.dirty = False
+
+    # ------------------------------------------------------------ stats
+    def stats(self) -> dict:
+        """Aggregated per-level stats across shards (pragma info analog)."""
+        per_shard = [self._extract_shard(s).stats() for s in range(self.n_shards)]
+        agg = {
+            "metric": self.config.metric,
+            "dimensions": self.config.dims,
+            "count": self.count,
+            "deleted": self.deleted_count,
+            "capacity": sum(p["capacity"] for p in per_shard),
+            "connectivity": self.config.m,
+            "connectivity_base": self.config.m0,
+            "ef_construction": self.config.ef_construction,
+            "ef_search": self.config.ef_search,
+            "approx_memory_bytes": sum(p["approx_memory_bytes"] for p in per_shard),
+            "num_levels": max((p["num_levels"] for p in per_shard), default=0),
+            "n_shards": self.n_shards,
+            "levels": [],
+        }
+        for lvl in range(agg["num_levels"]):
+            nodes = edges = max_edges = 0
+            for p in per_shard:
+                if lvl < len(p["levels"]):
+                    nodes += p["levels"][lvl]["nodes"]
+                    edges += p["levels"][lvl]["edges"]
+                    max_edges += p["levels"][lvl]["max_edges"]
+            agg["levels"].append(
+                {"level": lvl, "nodes": nodes, "edges": edges, "max_edges": max_edges}
+            )
+        return agg
 
     @classmethod
     def load(cls, path: str, mesh: Optional[Mesh] = None) -> "ShardedHNSWIndex":

@@ -179,7 +179,11 @@ def _rewrite_topk(db: Database, node: TopK) -> Optional[PlanNode]:
         return None
     entry = _find_index(db, scan.table, col, fn_name, qv.shape[0])
     if entry is not None:
-        if filters and db.settings.get("hnsw_pushdown_filters"):
+        if (
+            filters
+            and db.settings.get("hnsw_pushdown_filters")
+            and getattr(entry.index, "supports_filter_pushdown", False)
+        ):
             # push the conjunction into the scan (filtered_search); keep
             # the filters above as a cheap recheck
             pred = filters[0]

@@ -503,6 +503,12 @@ def execute_sql(db: Database, text: str):
                                 "HNSW index 'storage' must be a string"
                             )
                         opts["storage"] = val
+                    elif kl == "sharded":
+                        if not isinstance(val, bool):
+                            raise BinderError(
+                                "HNSW index 'sharded' must be a boolean"
+                            )
+                        opts["sharded"] = val
                     else:
                         raise BinderError(
                             f"Unknown option for HNSW index: '{k2}'"

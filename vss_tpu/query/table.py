@@ -236,6 +236,8 @@ class Database:
         storage: str = "f32",
         wave_size: int = 1024,
         seed: int = 0,
+        sharded: bool = False,
+        mesh=None,
     ) -> IndexEntry:
         """CREATE INDEX ... USING HNSW. Validation mirrors
         hnsw_index_plan.cpp:21-99 (messages included)."""
@@ -282,13 +284,25 @@ class Database:
         # CREATE INDEX skips NULL rows (the planner's IS NOT NULL filter,
         # hnsw_index_plan.cpp:101-139): only live non-NULL rows are indexed
         live = np.flatnonzero(t.row_valid & ~t.vector_null_mask(column))
-        idx = HNSWIndex.build(
-            t.columns[column][live],
-            cfg,
-            rowids=t.rowids[live],
-            wave_size=wave_size,
-            seed=seed,
-        )
+        if sharded:
+            from vss_tpu.parallel import ShardedHNSWIndex
+
+            idx = ShardedHNSWIndex.build(
+                t.columns[column][live],
+                cfg,
+                mesh,
+                rowids=t.rowids[live],
+                wave_size=wave_size,
+                seed=seed,
+            )
+        else:
+            idx = HNSWIndex.build(
+                t.columns[column][live],
+                cfg,
+                rowids=t.rowids[live],
+                wave_size=wave_size,
+                seed=seed,
+            )
         entry = IndexEntry(name=name, table=table, column=column, index=idx)
         self.indexes[name] = entry
         return entry
@@ -413,12 +427,18 @@ class Database:
             arrs["__valid__"] = t.row_valid
             np.savez_compressed(os.path.join(path, f"table_{name}.npz"), **arrs)
             catalog["tables"][name] = {"next_rowid": t.next_rowid}
+        from vss_tpu.parallel.sharded import ShardedHNSWIndex
+
         for name, e in self.indexes.items():
-            if e.index.dirty or not os.path.exists(
+            meta = {"table": e.table, "column": e.column}
+            if isinstance(e.index, ShardedHNSWIndex):
+                e.index.save(os.path.join(path, f"index_{name}.sharded"))
+                meta["sharded"] = True
+            elif e.index.dirty or not os.path.exists(
                 os.path.join(path, f"index_{name}.vss")
             ):
                 save_index(e.index, os.path.join(path, f"index_{name}.vss"))
-            catalog["indexes"][name] = {"table": e.table, "column": e.column}
+            catalog["indexes"][name] = meta
         with open(os.path.join(path, "catalog.json"), "w") as f:
             json.dump(catalog, f)
         self.path = path
@@ -441,15 +461,33 @@ class Database:
                 bs.put(f"table:{name}", buf.getvalue())
                 live.add(f"table:{name}")
                 catalog["tables"][name] = {"next_rowid": t.next_rowid}
+            from vss_tpu.parallel.sharded import ShardedHNSWIndex
+
             for name, e in self.indexes.items():
                 key = f"index:{name}"
-                if e.index.dirty or key not in bs:
+                meta = {"table": e.table, "column": e.column}
+                if isinstance(e.index, ShardedHNSWIndex):
+                    meta["sharded"] = e.index.n_shards
+                    import dataclasses as _dc
+
+                    meta["config"] = _dc.asdict(e.index.config)
+                    for s in range(e.index.n_shards):
+                        skey = f"{key}:shard{s}"
+                        if e.index.dirty or skey not in bs:
+                            buf = io.BytesIO()
+                            serialize_index(e.index._extract_shard(s), buf)
+                            bs.put(skey, buf.getvalue())
+                        live.add(skey)
+                    e.index.dirty = False
+                elif e.index.dirty or key not in bs:
                     buf = io.BytesIO()
                     serialize_index(e.index, buf)
                     bs.put(key, buf.getvalue())
                     e.index.dirty = False
-                live.add(key)
-                catalog["indexes"][name] = {"table": e.table, "column": e.column}
+                    live.add(key)
+                else:
+                    live.add(key)
+                catalog["indexes"][name] = meta
             # drop streams for dropped tables/indexes (block reclaim)
             for stream in bs.list():
                 if stream.startswith(("table:", "index:")) and stream not in live:
@@ -476,7 +514,29 @@ class Database:
                 t.next_rowid = meta["next_rowid"]
                 db.tables[name] = t
             for name, meta in catalog["indexes"].items():
-                idx = deserialize_index(io.BytesIO(bs.get(f"index:{name}")))
+                if meta.get("sharded"):
+                    from vss_tpu.index.graph import HNSWConfig as _Cfg
+                    from vss_tpu.parallel import make_mesh
+                    from vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+                    n_shards = int(meta["sharded"])
+                    sidx = ShardedHNSWIndex(
+                        _Cfg(**meta["config"]), make_mesh(n_shards)
+                    )
+                    locals_ = [
+                        deserialize_index(
+                            io.BytesIO(bs.get(f"index:{name}:shard{s}"))
+                        )
+                        for s in range(n_shards)
+                    ]
+                    sidx._restack(locals_)
+                    sidx._insert_counter = sidx.count
+                    sidx._insert_seed = max(
+                        (l._insert_seed for l in locals_), default=0
+                    )
+                    idx = sidx
+                else:
+                    idx = deserialize_index(io.BytesIO(bs.get(f"index:{name}")))
                 db.indexes[name] = IndexEntry(
                     name=name, table=meta["table"], column=meta["column"], index=idx
                 )
@@ -501,7 +561,14 @@ class Database:
             t.next_rowid = meta["next_rowid"]
             db.tables[name] = t
         for name, meta in catalog["indexes"].items():
-            idx = load_index(os.path.join(path, f"index_{name}.vss"))
+            if meta.get("sharded"):
+                from vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+                idx = ShardedHNSWIndex.load(
+                    os.path.join(path, f"index_{name}.sharded")
+                )
+            else:
+                idx = load_index(os.path.join(path, f"index_{name}.vss"))
             db.indexes[name] = IndexEntry(
                 name=name, table=meta["table"], column=meta["column"], index=idx
             )
