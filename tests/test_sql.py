@@ -171,3 +171,13 @@ def test_null_vectors(db):
         "SELECT count(*) FROM items WHERE id = 9001"
     )
     assert db2_res["count"][0] == 1  # row exists in the table itself
+
+
+def test_sql_null_insert(db):
+    """INSERT ... VALUES (_, NULL) stores a NULL vector row (regression:
+    the SQL layer used to array-ify before NULL mapping)."""
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    db.sql("INSERT INTO items VALUES (9000, NULL)")
+    assert db.sql("SELECT count(*) FROM items")["count"][0] == 730
+    info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
+    assert info["count"][0] == 729

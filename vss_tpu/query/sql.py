@@ -537,7 +537,8 @@ def execute_sql(db: Database, text: str):
             p.expect_op(")")
             if not p.accept_op(","):
                 break
-        db.insert(table, {c: np.asarray(v) for c, v in data.items()})
+        # keep raw python lists: Table.append maps None -> NULL (NaN) rows
+        db.insert(table, data)
         return None
 
     if kw == "DELETE":
