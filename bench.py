@@ -134,7 +134,8 @@ def main():
 
     def run_at(ef):
         def search_batch(qb):
-            d, slots = hnsw_search(graph, config, qb, k=K, ef=ef, expand=ESEARCH)
+            d, slots = hnsw_search(graph, config, qb, k=K, ef=ef, expand=ESEARCH,
+                                   assume_all_valid=True)
             rows = jnp.where(
                 slots >= 0,
                 jnp.take(graph.slot_to_rowid, jnp.maximum(slots, 0)),
