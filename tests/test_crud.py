@@ -121,3 +121,26 @@ def test_stats(small_index):
     assert st["num_levels"] >= 1
     assert st["levels"][0]["nodes"] == 500
     assert 0 < st["levels"][0]["edges"] <= st["levels"][0]["max_edges"]
+
+
+def test_optimize_layout_preserves_results(small_index, rng):
+    idx, vecs = small_index
+    q = jnp.asarray(rng.standard_normal((30, 16)).astype(np.float32))
+    d1, r1 = idx.search(q, k=5, ef=96)
+    idx.optimize_layout(n_clusters=16)
+    d2, r2 = idx.search(q, k=5, ef=96)
+    # same database, permuted layout: results must be equivalent sets with
+    # identical distances (graph traversal order may differ on ties)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d1), axis=1), np.sort(np.asarray(d2), axis=1), atol=1e-5
+    )
+    overlap = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(np.asarray(r1), np.asarray(r2))
+    ) / np.asarray(r1).size
+    assert overlap >= 0.95
+    # CRUD still works after relayout
+    idx.delete([int(np.asarray(r2)[0, 0])])
+    idx.insert(rng.standard_normal((1, 16)).astype(np.float32), [77777])
+    d3, r3 = idx.search(q, k=5, ef=96)
+    assert np.asarray(r3).shape == (30, 5)

@@ -289,15 +289,51 @@ class HNSWIndex:
         dropped."""
         if self.deleted_count == 0 and not self.free_slots:
             return
-        cfg = self.config
+        kept = np.flatnonzero(np.asarray(self.graph.valid))
+        self._apply_slot_permutation(kept)
+
+    def optimize_layout(self, n_clusters: int = 1024, seed: int = 0):
+        """Reorder slots so near neighbors sit adjacently in HBM — the
+        locality intent of usearch's clustering compact()
+        (`index.hpp:3405-3490`). Assigns every live vector to its nearest
+        of `n_clusters` sampled vectors (one MXU pass) and permutes slots
+        into cluster order. Improves gather locality for large graphs."""
+        from vss_tpu.ops.topk import bruteforce_topk
+
         valid = np.asarray(self.graph.valid)
+        live = np.flatnonzero(valid)
+        if live.size == 0:
+            return
+        rng = np.random.default_rng(seed)
+        n_clusters = int(min(n_clusters, live.size))
+        centers_idx = rng.choice(live, n_clusters, replace=False)
+        centers = jnp.take(
+            self.graph.vectors, jnp.asarray(centers_idx.astype(np.int32)), axis=0
+        ).astype(jnp.float32)
+        assign = np.empty(live.size, np.int32)
+        CH = 8192
+        for s in range(0, live.size, CH):
+            q = jnp.take(
+                self.graph.vectors,
+                jnp.asarray(live[s : s + CH].astype(np.int32)),
+                axis=0,
+            ).astype(jnp.float32)
+            _, ids = bruteforce_topk(q, centers, 1, self.config.metric)
+            assign[s : s + CH] = np.asarray(ids)[:, 0]
+        order = np.argsort(assign, kind="stable")
+        self._apply_slot_permutation(live[order])
+
+    def _apply_slot_permutation(self, kept_in_order: np.ndarray):
+        """Rebuild the graph with slots laid out as `kept_in_order` (old
+        slot ids in their new order); everything not listed is dropped."""
+        cfg = self.config
         levels = np.asarray(self.graph.levels)
         rowids = np.asarray(self.graph.slot_to_rowid)
         adj0 = np.asarray(self.graph.adj0)
         upper_adj = np.asarray(self.graph.upper_adj)
         upper_row = np.asarray(self.graph.upper_row)
 
-        kept = np.flatnonzero(valid)
+        kept = np.asarray(kept_in_order, np.int64)
         n_new = kept.size
         cap = self.graph.capacity
         slot_map = np.full(cap, -1, np.int64)
