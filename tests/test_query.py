@@ -322,3 +322,47 @@ def test_filter_pushdown_setting(db):
     # parity: must equal exact filtered brute force
     ref = q.execute_unoptimized()
     assert set(res["id"]) == set(ref["id"])
+
+
+def test_metric_routing_multiple_indexes(rng):
+    """hnsw_metrics.test analog: one index per metric on the same column;
+    each distance function must route to the matching index."""
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    db = Database()
+    db.create_table("t", {"id": np.arange(300), "vec": vecs})
+    db.create_hnsw_index("idx_l2", "t", "vec", metric="l2sq")
+    db.create_hnsw_index("idx_cos", "t", "vec", metric="cosine")
+    db.create_hnsw_index("idx_ip", "t", "vec", metric="ip")
+    target = const(rng.standard_normal(8).astype(np.float32))
+    cases = [
+        ("array_distance", "idx_l2"),
+        ("array_cosine_distance", "idx_cos"),
+        ("array_negative_inner_product", "idx_ip"),
+    ]
+    for fname, idx_name in cases:
+        q = db.query("t").order_by(fn(fname, col("vec"), target)).limit(3).select("id")
+        plan = q.explain()
+        assert idx_name in plan, (fname, plan)
+    # similarity (not a distance) must NOT be rewritten
+    q = db.query("t").order_by(
+        fn("array_cosine_similarity", col("vec"), target)
+    ).limit(3).select("id")
+    assert "HNSW_INDEX_SCAN" not in q.explain()
+
+
+def test_knn_join_with_null_vectors(db, rng):
+    """hnsw_lateral_join.test 'with nulls' analog: NULL outer vectors
+    produce no matches; NULL inner rows are never matched."""
+    queries = rng.uniform(0, 8, (4, 3)).astype(np.float32)
+    db.create_table("queries", {"qid": np.arange(4), "qvec": queries})
+    # NULL an outer row
+    db.table("queries").columns["qvec"][2] = np.nan
+    db.table("queries")._bump()
+    q = db.query("queries").knn_join("items", "vec", col("qvec"), k=2)
+    res = q.execute()
+    assert 2 not in set(res["l_qid"].tolist())      # null outer -> no rows
+    assert len(res["l_qid"]) == 6                   # 3 live outers x 2
+    # same through the brute-force fallback
+    ref = q.execute_unoptimized()
+    assert 2 not in set(ref["l_qid"].tolist())
+    assert len(ref["l_qid"]) == 6
