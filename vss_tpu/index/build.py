@@ -151,12 +151,15 @@ def insert_wave(
     dummy_slot = graph.capacity - 1
     dummy_row = graph.upper_capacity - 1
 
-    # ---- 1. write node data into the tapes
+    # ---- 1. write node data into the tapes. For an int8 tape the caller
+    # provides wave vectors already in scaled units; round-and-clip here.
+    if graph.vectors.dtype == jnp.int8:
+        tape_vals = jnp.clip(jnp.round(wave_vecs), -127, 127).astype(jnp.int8)
+    else:
+        tape_vals = wave_vecs.astype(graph.vectors.dtype)
     g = dataclasses.replace(
         graph,
-        vectors=graph.vectors.at[slots].set(
-            wave_vecs.astype(graph.vectors.dtype)
-        ),
+        vectors=graph.vectors.at[slots].set(tape_vals),
         levels=graph.levels.at[slots].set(jnp.where(wave_valid, wave_levels, 0)),
         upper_row=graph.upper_row.at[slots].set(
             jnp.where(wave_valid[:, None], wave_upper_rows, -1)

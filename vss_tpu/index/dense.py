@@ -64,6 +64,8 @@ class HNSWIndex:
         self.deleted_count = 0
         self.dirty = False
         self._insert_seed = 0
+        # int8 tape: global symmetric quantization scale (tape holds x/scale)
+        self.vector_scale = 1.0
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -97,6 +99,11 @@ class HNSWIndex:
         if rowids is None:
             rowids = np.arange(n, dtype=np.int64)
         rowids = np.asarray(rowids)
+        if config.storage_dtype == "int8":
+            # graph-internal values live in scaled units; the scale maps
+            # them back for user-visible distances
+            idx.vector_scale = float(np.abs(vectors).max()) / 127.0 or 1.0
+            vectors = vectors / idx.vector_scale
         native_threads = 0
         if method == "auto":
             from vss_tpu.index.native import native_available
@@ -168,16 +175,32 @@ class HNSWIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None, :]
+        if self.config.storage_dtype == "int8":
+            q = q / self.vector_scale
         d, slots = hnsw_search(
             self.graph, self.config, q, k, ef=ef, filter_mask=filter_mask,
             expand=expand, assume_all_valid=self.deleted_count == 0,
         )
+        if self.config.storage_dtype == "int8":
+            d = self._rescale_distances(d)
         rows = jnp.where(
             slots >= 0,
             jnp.take(self.graph.slot_to_rowid, jnp.maximum(slots, 0)),
             -1,
         )
         return d, rows
+
+    def _rescale_distances(self, d):
+        """Map scaled-unit index distances back to real units (int8 tape).
+        l2sq scales by s^2; cosine is scale-invariant; the internal ip
+        form 1 - dot maps via dot_real = (1 - d) * s^2."""
+        s = self.vector_scale
+        m = Metric.parse(self.config.metric)
+        if m == Metric.L2SQ:
+            return d * (s * s)
+        if m == Metric.IP:
+            return 1.0 - (1.0 - d) * (s * s)
+        return d
 
     # ------------------------------------------------------------- insert
     def _ensure_capacity(self, extra_slots: int, extra_upper: int):
@@ -198,6 +221,8 @@ class HNSWIndex:
         vectors = np.asarray(vectors, np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
+        if self.config.storage_dtype == "int8":
+            vectors = vectors / self.vector_scale  # out-of-range clips in-wave
         rowids = np.asarray(rowids, np.int64)
         n = vectors.shape[0]
         if n == 0:

@@ -53,18 +53,22 @@ class HNSWConfig:
     ef_construction: int = DEFAULT_EF_CONSTRUCTION
     ef_search: int = DEFAULT_EF_SEARCH
     max_levels: int = DEFAULT_MAX_LEVELS
-    # vector tape precision: 'f32' or 'bf16'. bf16 halves HBM traffic in
-    # the gather-bound beam search; distances still accumulate in f32.
-    # (The reference only enables FLOAT storage, hnsw_index.cpp:277-290;
-    # bf16 is the TPU-native analog of its commented-out f16 support.)
+    # vector tape precision: 'f32', 'bf16', or 'int8'. Lower precision
+    # cuts HBM traffic in the gather-bound beam search (2x / 4x);
+    # distances still accumulate in f32. int8 uses a global symmetric
+    # scale (ordering is scale-invariant per metric; absolute distances
+    # are rescaled on output). The reference only enables FLOAT storage
+    # (hnsw_index.cpp:277-290); bf16/int8 are the TPU-native analogs of
+    # its commented-out f16/i8 support.
     storage_dtype: str = "f32"
 
     def __post_init__(self):
         if self.m0 == 0:
             object.__setattr__(self, "m0", 2 * self.m)
-        if self.storage_dtype not in ("f32", "bf16"):
+        if self.storage_dtype not in ("f32", "bf16", "int8"):
             raise ValueError(
-                f"storage_dtype must be 'f32' or 'bf16', got {self.storage_dtype!r}"
+                "storage_dtype must be 'f32', 'bf16' or 'int8', "
+                f"got {self.storage_dtype!r}"
             )
 
     @property
@@ -75,7 +79,11 @@ class HNSWConfig:
     def vector_dtype(self):
         import jax.numpy as jnp
 
-        return jnp.bfloat16 if self.storage_dtype == "bf16" else jnp.float32
+        return {
+            "f32": jnp.float32,
+            "bf16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[self.storage_dtype]
 
 
 @jax.tree_util.register_dataclass

@@ -195,9 +195,17 @@ def host_graph_to_device(
     if rowids is None:
         rowids = np.arange(n, dtype=np.int32)
     return HNSWGraph(
-        vectors=jnp.asarray(
-            np.concatenate([g.vectors[:n], np.zeros((cap - n, cfg.dims), np.float32)])
-        ).astype(cfg.vector_dtype),
+        vectors=(
+            lambda tape: jnp.clip(jnp.round(tape), -127, 127).astype(jnp.int8)
+            if cfg.storage_dtype == "int8"
+            else tape.astype(cfg.vector_dtype)
+        )(
+            jnp.asarray(
+                np.concatenate(
+                    [g.vectors[:n], np.zeros((cap - n, cfg.dims), np.float32)]
+                )
+            )
+        ),
         adj0=jnp.asarray(adj0),
         upper_adj=jnp.asarray(upper_adj),
         upper_row=jnp.asarray(upper_row),

@@ -98,7 +98,11 @@ def build_graph_native(
     srow = np.full(cap, -1, np.int32)
     srow[:n] = np.asarray(rowids, np.int64).astype(np.int32)
     graph = HNSWGraph(
-        vectors=jnp.asarray(vec_tape).astype(config.vector_dtype),
+        vectors=(
+            jnp.clip(jnp.round(jnp.asarray(vec_tape)), -127, 127).astype(jnp.int8)
+            if config.storage_dtype == "int8"
+            else jnp.asarray(vec_tape).astype(config.vector_dtype)
+        ),
         adj0=jnp.asarray(adj0),
         upper_adj=jnp.asarray(upper_adj),
         upper_row=jnp.asarray(upper_row),

@@ -42,6 +42,10 @@ class ShardedHNSWIndex:
     """Row-partitioned HNSW over a 1-D device mesh."""
 
     def __init__(self, config: HNSWConfig, mesh: Optional[Mesh] = None):
+        if config.storage_dtype == "int8":
+            raise NotImplementedError(
+                "int8 storage is not supported for sharded indexes yet"
+            )
         self.config = config
         self.mesh = mesh or make_mesh()
         self.n_shards = self.mesh.devices.size

@@ -264,8 +264,10 @@ class Database:
                 raise BinderError(f"HNSW index '{label}' must be an integer")
             if val < lo:
                 raise BinderError(f"HNSW index '{label}' must be at least {lo}")
-        if storage not in ("f32", "bf16"):
-            raise BinderError("HNSW index 'storage' must be one of: 'f32', 'bf16'")
+        if storage not in ("f32", "bf16", "int8"):
+            raise BinderError(
+                "HNSW index 'storage' must be one of: 'f32', 'bf16', 'int8'"
+            )
         if name in self.indexes:
             raise BinderError(f"index '{name}' already exists")
         t = self.table(table)

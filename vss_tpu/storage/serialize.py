@@ -61,6 +61,7 @@ def serialize_index(idx: HNSWIndex, stream: BinaryIO) -> None:
         "max_level": int(g.max_level),
         "count": int(g.count),
         "deleted_count": idx.deleted_count,
+        "vector_scale": idx.vector_scale,
         "arrays": table,
     }
     hbytes = json.dumps(header).encode()
@@ -123,6 +124,7 @@ def deserialize_index(stream: BinaryIO) -> HNSWIndex:
     idx.upper_used = u
     idx.free_slots = [int(s) for s in arrays["free_slots"]]
     idx.deleted_count = header["deleted_count"]
+    idx.vector_scale = float(header.get("vector_scale", 1.0))
     valid = arrays["valid"]
     rowids = arrays["slot_to_rowid"]
     idx.rowid_to_slot = {
