@@ -144,3 +144,52 @@ def test_optimize_layout_preserves_results(small_index, rng):
     idx.insert(rng.standard_normal((1, 16)).astype(np.float32), [77777])
     d3, r3 = idx.search(q, k=5, ef=96)
     assert np.asarray(r3).shape == (30, 5)
+
+
+def test_vacuum_and_merge_parity(small_index):
+    idx, _ = small_index
+    idx.vacuum()  # no-op, like the reference
+    with pytest.raises(NotImplementedError, match="Cannot merge HNSW indexes"):
+        idx.merge(idx)
+
+
+def test_concurrent_search_and_insert(rng):
+    """Concurrent readers with a writer (coarse-lock sanity)."""
+    import threading
+
+    from vss_tpu import Database
+
+    db = Database()
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    db.create_table("t", {"id": np.arange(400), "vec": vecs})
+    db.create_hnsw_index("i", "t", "vec")
+    errors = []
+
+    def reader():
+        try:
+            for _ in range(20):
+                r = db.sql(
+                    "SELECT id FROM t ORDER BY array_distance(vec, "
+                    + "[" + ",".join(f"{x:.3f}" for x in vecs[3]) + "]) LIMIT 3"
+                )
+                assert len(r["id"]) == 3
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def writer():
+        try:
+            for j in range(10):
+                db.insert("t", {"id": [1000 + j],
+                                "vec": rng.standard_normal((1, 8)).astype(np.float32)})
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)] + [
+        threading.Thread(target=writer)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert db.table("t").num_rows == 410

@@ -446,6 +446,15 @@ class HNSWIndex:
         self.dirty = True
         return True
 
+    def vacuum(self):
+        """No-op, matching the reference (`hnsw_index.cpp:596-597`):
+        space reclamation happens via compact()."""
+
+    def merge(self, other: "HNSWIndex"):
+        """Unimplemented, matching the reference
+        (`MergeIndexes`, `hnsw_index.cpp:592-594`)."""
+        raise NotImplementedError("Cannot merge HNSW indexes")
+
     def clone(self) -> "HNSWIndex":
         """Cheap copy (usearch `copy`/`fork` analog). Device arrays are
         immutable and shared; host bookkeeping is deep-copied."""

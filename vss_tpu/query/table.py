@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
@@ -195,6 +196,10 @@ class Database:
             "hnsw_pushdown_filters": False,
         }
         self.path = path  # set -> "disk-backed" (persistence gate applies)
+        # coarse catalog/DML lock (the reference gets per-index rwlocks
+        # from DuckDB's StorageLock; one re-entrant lock suffices for an
+        # in-process engine whose heavy work happens on-device)
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------ settings
     def set_setting(self, name: str, value):
@@ -323,6 +328,10 @@ class Database:
 
     # ------------------------------------------------------------ DML
     def insert(self, table: str, data: dict) -> np.ndarray:
+        with self._lock:
+            return self._insert_locked(table, data)
+
+    def _insert_locked(self, table: str, data: dict) -> np.ndarray:
         t = self.table(table)
         new_ids = t.append(data)
         for e in self.indexes_on(table):
@@ -336,6 +345,10 @@ class Database:
         return new_ids
 
     def delete(self, table: str, rowids: Sequence[int]) -> int:
+        with self._lock:
+            return self._delete_locked(table, rowids)
+
+    def _delete_locked(self, table: str, rowids: Sequence[int]) -> int:
         t = self.table(table)
         deleted = t.delete_rowids(rowids)
         for e in self.indexes_on(table):
