@@ -149,7 +149,7 @@ def test_optimize_layout_preserves_results(small_index, rng):
 def test_vacuum_and_merge_parity(small_index):
     idx, _ = small_index
     idx.vacuum()  # no-op, like the reference
-    with pytest.raises(NotImplementedError, match="Cannot merge HNSW indexes"):
+    with pytest.raises(NotImplementedError, match="MergeIndexes"):
         idx.merge(idx)
 
 

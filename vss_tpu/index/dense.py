@@ -453,7 +453,7 @@ class HNSWIndex:
     def merge(self, other: "HNSWIndex"):
         """Unimplemented, matching the reference
         (`MergeIndexes`, `hnsw_index.cpp:592-594`)."""
-        raise NotImplementedError("Cannot merge HNSW indexes")
+        raise NotImplementedError("HNSWIndex::MergeIndexes() not implemented")
 
     def clone(self) -> "HNSWIndex":
         """Cheap copy (usearch `copy`/`fork` analog). Device arrays are

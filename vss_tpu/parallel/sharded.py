@@ -448,6 +448,12 @@ class ShardedHNSWIndex:
             )
         self.dirty = False
 
+    def vacuum(self):
+        """No-op, like HNSWIndex.vacuum (reference parity)."""
+
+    def merge(self, other):
+        raise NotImplementedError("HNSWIndex::MergeIndexes() not implemented")
+
     # ------------------------------------------------------------ stats
     def stats(self) -> dict:
         """Aggregated per-level stats across shards (pragma info analog)."""

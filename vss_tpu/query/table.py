@@ -209,11 +209,12 @@ class Database:
 
     # ------------------------------------------------------------ catalog
     def create_table(self, name: str, columns: dict[str, np.ndarray]) -> Table:
-        if name in self.tables:
-            raise BinderError(f"table '{name}' already exists")
-        t = Table(name, columns)
-        self.tables[name] = t
-        return t
+        with self._lock:
+            if name in self.tables:
+                raise BinderError(f"table '{name}' already exists")
+            t = Table(name, columns)
+            self.tables[name] = t
+            return t
 
     def table(self, name: str) -> Table:
         if name not in self.tables:
@@ -221,10 +222,11 @@ class Database:
         return self.tables[name]
 
     def drop_table(self, name: str):
-        self.table(name)
-        for iname in [i for i, e in self.indexes.items() if e.table == name]:
-            del self.indexes[iname]
-        del self.tables[name]
+        with self._lock:
+            self.table(name)
+            for iname in [i for i, e in self.indexes.items() if e.table == name]:
+                del self.indexes[iname]
+            del self.tables[name]
 
     # ------------------------------------------------------------ indexes
     def create_hnsw_index(
@@ -246,6 +248,18 @@ class Database:
     ) -> IndexEntry:
         """CREATE INDEX ... USING HNSW. Validation mirrors
         hnsw_index_plan.cpp:21-99 (messages included)."""
+        with self._lock:
+            return self._create_hnsw_index_locked(
+                name, table, column, metric=metric,
+                ef_construction=ef_construction, ef_search=ef_search, m=m,
+                m0=m0, storage=storage, wave_size=wave_size, seed=seed,
+                sharded=sharded, mesh=mesh,
+            )
+
+    def _create_hnsw_index_locked(
+        self, name, table, column, *, metric, ef_construction, ef_search,
+        m, m0, storage, wave_size, seed, sharded, mesh,
+    ) -> IndexEntry:
         if self.path is not None and not self.settings[
             "hnsw_enable_experimental_persistence"
         ]:
@@ -315,9 +329,10 @@ class Database:
         return entry
 
     def drop_index(self, name: str):
-        if name not in self.indexes:
-            raise BinderError(f"index '{name}' does not exist")
-        del self.indexes[name]
+        with self._lock:
+            if name not in self.indexes:
+                raise BinderError(f"index '{name}' does not exist")
+            del self.indexes[name]
 
     def indexes_on(self, table: str, column: Optional[str] = None):
         return [
@@ -334,8 +349,8 @@ class Database:
     def _insert_locked(self, table: str, data: dict) -> np.ndarray:
         t = self.table(table)
         new_ids = t.append(data)
+        pos = t.positions_of_rowids(new_ids)
         for e in self.indexes_on(table):
-            pos = t.positions_of_rowids(new_ids)
             vecs = t.columns[e.column][pos]
             # NULL vectors are skipped, like HNSWIndex::Construct
             # (`hnsw_index.cpp:467-470`)
@@ -357,14 +372,15 @@ class Database:
 
     def update(self, table: str, rowids: Sequence[int], data: dict) -> np.ndarray:
         """UPDATE = DELETE + INSERT (the reference index contract,
-        SURVEY §3.5)."""
-        t = self.table(table)
-        pos = t.positions_of_rowids(np.asarray(list(rowids), np.int64))
-        pos = pos[pos >= 0]
-        old = {c: v[pos].copy() for c, v in t.columns.items()}
-        old.update(data)
-        self.delete(table, rowids)
-        return self.insert(table, old)
+        SURVEY §3.5). Atomic under the DML lock."""
+        with self._lock:
+            t = self.table(table)
+            pos = t.positions_of_rowids(np.asarray(list(rowids), np.int64))
+            pos = pos[pos >= 0]
+            old = {c: v[pos].copy() for c, v in t.columns.items()}
+            old.update(data)
+            self._delete_locked(table, rowids)
+            return self._insert_locked(table, old)
 
     # ------------------------------------------------------------ pragmas
     def hnsw_index_info(self) -> list[dict]:
@@ -389,14 +405,16 @@ class Database:
         from vss_tpu.query.exec import run_plan
         from vss_tpu.query.rewrite import optimize
 
-        return run_plan(self, optimize(self, plan))
+        with self._lock:
+            return run_plan(self, optimize(self, plan))
 
     def execute_unoptimized(self, plan):
         """Run without optimizer rewrites (PRAGMA disable_optimizer analog,
         used by parity tests)."""
         from vss_tpu.query.exec import run_plan
 
-        return run_plan(self, plan)
+        with self._lock:
+            return run_plan(self, plan)
 
     def explain(self, plan) -> str:
         from vss_tpu.query.ir import format_plan
