@@ -181,3 +181,27 @@ def test_sql_null_insert(db):
     assert db.sql("SELECT count(*) FROM items")["count"][0] == 730
     info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
     assert info["count"][0] == 729
+
+
+def test_group_by(db):
+    """GROUP BY over a knn_join result (hnsw_lateral_join_group analog)."""
+    r = db.sql("SELECT id FROM items WHERE id < 6 ORDER BY id LIMIT 6")
+    # plain group-by on a computed bucket
+    db.create_table("labeled", {
+        "grp": np.asarray([0, 0, 1, 1, 1, 2]),
+        "val": np.asarray([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], np.float32),
+    })
+    r = db.sql("SELECT grp, count(*) AS n, sum(val) AS s, max(val) AS hi "
+               "FROM labeled GROUP BY grp")
+    assert r["grp"].tolist() == [0, 1, 2]
+    assert r["n"].tolist() == [2, 3, 1]
+    assert r["s"].tolist() == [3.0, 12.0, 6.0]
+    assert r["hi"].tolist() == [2.0, 5.0, 6.0]
+    # grouped over a knn_join table function: matches per query row
+    g2 = np.stack(np.meshgrid(*[np.arange(9)]*3, indexing="ij"), -1).reshape(-1, 3).astype(np.float32)
+    db.create_table("qs", {"qid": np.arange(3), "qvec": g2[:3] + 0.01})
+    r = db.sql("SELECT l_qid, count(*) AS hits FROM knn_join(qs, items, qvec, vec, 4) GROUP BY l_qid")
+    assert r["hits"].tolist() == [4, 4, 4]
+    # non-aggregate column outside GROUP BY -> binder error
+    with pytest.raises(BinderError, match="must appear in GROUP BY"):
+        db.sql("SELECT val, count(*) FROM labeled GROUP BY grp")

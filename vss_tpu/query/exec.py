@@ -114,10 +114,52 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
     if isinstance(node, Scan):
         return db.table(node.table).chunk()
 
-    from vss_tpu.query.ir import ChunkSource, SimpleAggregate
+    from vss_tpu.query.ir import ChunkSource, GroupByAggregate, SimpleAggregate
 
     if isinstance(node, ChunkSource):
         return dict(node.data)
+
+    if isinstance(node, GroupByAggregate):
+        chunk = run(node.child)
+        n = len(next(iter(chunk.values()))) if chunk else 0
+        # factorize composite group keys
+        codes = np.zeros(n, np.int64)
+        uniques = []
+        for key in node.keys:
+            u, inv = np.unique(np.asarray(chunk[key]), return_inverse=True)
+            codes = codes * (len(u) + 1) + inv
+            uniques.append((key, u, inv))
+        group_codes, first_pos, ginv = np.unique(
+            codes, return_index=True, return_inverse=True
+        )
+        out: dict[str, np.ndarray] = {
+            key: np.asarray(chunk[key])[first_pos] for key in node.keys
+        }
+        n_groups = len(group_codes)
+        for name, (fn, arg) in node.items.items():
+            if fn == "count" and arg is None:
+                out[name] = np.bincount(ginv, minlength=n_groups)
+                continue
+            vals = np.asarray(arg.evaluate(chunk), np.float64)
+            if fn == "count":
+                out[name] = np.bincount(
+                    ginv, weights=(~_is_null(vals)).astype(np.float64),
+                    minlength=n_groups,
+                ).astype(np.int64)
+            elif fn == "sum":
+                out[name] = np.bincount(ginv, weights=vals, minlength=n_groups)
+            elif fn == "avg":
+                s = np.bincount(ginv, weights=vals, minlength=n_groups)
+                c = np.bincount(ginv, minlength=n_groups)
+                out[name] = s / np.maximum(c, 1)
+            elif fn in ("min", "max"):
+                red = np.full(n_groups, np.inf if fn == "min" else -np.inf)
+                ufn = np.minimum if fn == "min" else np.maximum
+                ufn.at(red, ginv, vals)
+                out[name] = red
+            else:
+                raise NotImplementedError(f"aggregate '{fn}'")
+        return out
 
     if isinstance(node, SimpleAggregate):
         chunk = run(node.child)

@@ -27,6 +27,7 @@ __all__ = [
     "MinByAgg", "KNNJoin", "HNSWIndexScan", "HNSWIndexJoinNode", "BruteForceTopK",
     "ChunkSource",
     "SimpleAggregate",
+    "GroupByAggregate",
 ]
 
 
@@ -290,6 +291,25 @@ class SimpleAggregate(PlanNode):
             for fn, arg in self.items.values()
         )
         return f"AGG({parts})"
+
+
+@dataclasses.dataclass
+class GroupByAggregate(PlanNode):
+    """GROUP BY keys with count/sum/min/max/avg aggregates."""
+
+    child: PlanNode
+    keys: list[str]
+    items: dict[str, tuple[str, Optional[Expr]]]  # out -> (agg fn, arg)
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        parts = ", ".join(
+            f"{fn}({arg if arg is not None else '*'})"
+            for fn, arg in self.items.values()
+        )
+        return f"GROUP_BY({', '.join(self.keys)}; {parts})"
 
 
 @dataclasses.dataclass

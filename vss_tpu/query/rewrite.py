@@ -299,4 +299,10 @@ def _optimize_node(db: Database, node: PlanNode) -> PlanNode:
         return Limit(_optimize_node(db, node.child), node.k)
     if isinstance(node, SimpleAggregate):
         return SimpleAggregate(_optimize_node(db, node.child), node.items)
+    from vss_tpu.query.ir import GroupByAggregate
+
+    if isinstance(node, GroupByAggregate):
+        return GroupByAggregate(
+            _optimize_node(db, node.child), node.keys, node.items
+        )
     return node

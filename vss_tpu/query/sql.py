@@ -272,6 +272,12 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
         node = Scan(src)
     if p.accept_kw("WHERE"):
         node = Filter(node, p.expr())
+    group_keys: list[str] = []
+    if p.accept_kw("GROUP"):
+        p.expect_kw("BY")
+        group_keys.append(p.ident())
+        while p.accept_op(","):
+            group_keys.append(p.ident())
     order = None
     ascending = True
     if p.accept_kw("ORDER"):
@@ -301,22 +307,41 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
         out = items[0][0] or "min_by"
         return MinByAgg(node, f.args[0], f.args[1], int(f.args[2].value), out)
 
-    # ungrouped simple aggregates: count(*)/count/sum/min/max/avg
+    # aggregates: count(*)/count/sum/min/max/avg, optionally GROUP BY
     _AGGS = ("count", "sum", "min", "max", "avg")
-    if items and all(
-        e is not None and isinstance(e, Func) and e.name in _AGGS
-        for _, e in items
-    ):
-        from vss_tpu.query.ir import SimpleAggregate
 
-        agg_items = {}
-        for alias, e in items:
+    def _is_agg(e):
+        return e is not None and isinstance(e, Func) and e.name in _AGGS
+
+    def _agg_items(agg_list):
+        out = {}
+        for alias, e in agg_list:
             arg = e.args[0] if e.args else None
             if isinstance(arg, Const) and arg.value == "*":
                 arg = None
-            name = alias or f"{e.name}"
-            agg_items[name] = (e.name, arg)
-        return SimpleAggregate(node, agg_items)
+            out[alias or f"{e.name}"] = (e.name, arg)
+        return out
+
+    if group_keys:
+        from vss_tpu.query.ir import GroupByAggregate
+
+        aggs = [(a, e) for a, e in items if _is_agg(e)]
+        non_aggs = [
+            a or (e.name if isinstance(e, ColumnRef) else str(e))
+            for a, e in items
+            if e is not None and not _is_agg(e)
+        ]
+        bad = [c for c in non_aggs if c not in group_keys]
+        if bad:
+            raise BinderError(
+                f"column '{bad[0]}' must appear in GROUP BY or an aggregate"
+            )
+        return GroupByAggregate(node, group_keys, _agg_items(aggs))
+
+    if items and all(_is_agg(e) for _, e in items):
+        from vss_tpu.query.ir import SimpleAggregate
+
+        return SimpleAggregate(node, _agg_items(items))
 
     if order is not None and limit is not None:
         node = TopK(node, order, limit, ascending)
