@@ -100,6 +100,35 @@ def main():
 
     cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF, storage_dtype=STORAGE)
 
+    # ground truth FIRST, then free the device copy of the dataset before
+    # the build allocates its tape (a 1M x 960-d run double-buffering the
+    # dataset plus scan workspace exhausts a 16GB chip otherwise)
+    log("[bench] ground truth...")
+    if DEL_FRAC > 0:
+        dead = rng.choice(N, int(N * DEL_FRAC), replace=False)
+        alive_mask = np.ones(N, bool)
+        alive_mask[dead] = False
+    xs = jnp.asarray(vecs)
+    gt = []
+    t0 = time.perf_counter()
+    for s in range(0, NQ, QBATCH):
+        q = jnp.asarray(queries[s : s + QBATCH])
+        _, ids = bruteforce_topk(q, xs, K, METRIC)
+        gt.append(np.asarray(ids))
+    gt = np.concatenate(gt)[:NQ]
+    brute_s = time.perf_counter() - t0
+    brute_qps = NQ / brute_s
+    log(f"[bench] brute force {brute_s:.1f}s ({brute_qps:.0f} qps)")
+    gt_deleted = None
+    if DEL_FRAC > 0:
+        _, ids2 = bruteforce_topk(
+            jnp.asarray(queries[:QBATCH]), xs, K, METRIC,
+            valid_mask=jnp.asarray(alive_mask),
+        )
+        gt_deleted = np.asarray(ids2)
+    del xs
+    jax.clear_caches()  # also drops cached scan workspaces
+
     log("[bench] building index...")
     t0 = time.perf_counter()
 
@@ -113,20 +142,6 @@ def main():
     build_s = time.perf_counter() - t0
     build_rows_per_s = N / build_s
     log(f"[bench] build {build_s:.1f}s ({build_rows_per_s:.0f} rows/s)")
-
-    # ground truth on-device (exact MXU path)
-    log("[bench] ground truth...")
-    xs = jnp.asarray(vecs)
-    gt = []
-    t0 = time.perf_counter()
-    for s in range(0, NQ, QBATCH):
-        q = jnp.asarray(queries[s : s + QBATCH])
-        _, ids = bruteforce_topk(q, xs, K, METRIC)
-        gt.append(np.asarray(ids))
-    gt = np.concatenate(gt)[:NQ]
-    brute_s = time.perf_counter() - t0
-    brute_qps = NQ / brute_s
-    log(f"[bench] brute force {brute_s:.1f}s ({brute_qps:.0f} qps)")
 
     # timed index search; escalate ef until the recall target is met so
     # the headline (QPS, recall) pair is reported at one setting
@@ -180,23 +195,14 @@ def main():
     if DEL_FRAC > 0:
         n_del = int(N * DEL_FRAC)
         log(f"[bench] deleting {n_del} rows + compact + requery...")
-        dead = rng.choice(N, n_del, replace=False)
         idx.delete(dead.tolist())
         idx.compact()
-        alive_mask = np.ones(N, bool)
-        alive_mask[dead] = False
-        req = queries[:QBATCH]
-        _, ids2 = bruteforce_topk(
-            jnp.asarray(req), xs, K, METRIC,
-            valid_mask=jnp.asarray(alive_mask),
-        )
-        d2, rows2 = idx.search(req, k=K, ef=ef_used)
-        ids2 = np.asarray(ids2)
+        d2, rows2 = idx.search(queries[:QBATCH], k=K, ef=ef_used)
         hits2 = sum(
             len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
-            for a, b in zip(np.asarray(rows2), ids2)
+            for a, b in zip(np.asarray(rows2), gt_deleted)
         )
-        extra["recall_after_compact"] = round(hits2 / ids2.size, 4)
+        extra["recall_after_compact"] = round(hits2 / gt_deleted.size, 4)
         extra["deleted_fraction"] = DEL_FRAC
 
     out = {
