@@ -152,3 +152,34 @@ def test_database_vssdb_single_file(tmp_path, rng):
     db2.checkpoint(p)
     db3 = Database.open(p)
     assert db3.table("t").num_rows == 301
+
+
+def test_db_index_drop_recreate_reclaims_blocks(tmp_path, rng):
+    """hnsw_reclaim_storage.test_slow analog at the database level: drop +
+    recreate + checkpoint loops must not grow the single-file store."""
+    from vss_tpu import Database
+    from vss_tpu.storage.blockfile import BlockStore, blockstore_available
+
+    if not blockstore_available():
+        pytest.skip("no C++ toolchain")
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    db = Database()
+    db.create_table("t", {"id": np.arange(500), "vec": vecs})
+    db.set_setting("hnsw_enable_experimental_persistence", True)
+    db.create_hnsw_index("i", "t", "vec")
+    p = str(tmp_path / "reclaim.vssdb")
+    db.checkpoint(p)
+    import os
+
+    baseline = os.path.getsize(p)
+    for _ in range(4):
+        db.drop_index("i")
+        db.create_hnsw_index("i", "t", "vec")
+        db.checkpoint(p)
+    grown = os.path.getsize(p)
+    assert grown <= baseline * 1.3, (baseline, grown)
+    with BlockStore(p) as bs:
+        assert bs.free_blocks >= 0  # store remains consistent
+    db2 = Database.open(p)
+    d, rows = db2.indexes["i"].index.search(vecs[:3], k=1)
+    assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2]
