@@ -35,10 +35,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vss_tpu.index.graph import HNSWConfig, HNSWGraph, empty_graph, sample_levels
+from vss_tpu.index.graph import (
+    HNSWConfig,
+    HNSWGraph,
+    cast_to_tape,
+    empty_graph,
+    sample_levels,
+)
 from vss_tpu.index.search import beam_search_base, greedy_descent, _dedupe_keep_first
 from vss_tpu.index.select import select_neighbors
-from vss_tpu.ops.distance import Metric, gathered_distances, pairwise
+from vss_tpu.ops.distance import gathered_distances, pairwise
 from vss_tpu.utils import round_up
 
 __all__ = ["build_graph_batched", "insert_wave", "plan_wave_rows"]
@@ -151,15 +157,11 @@ def insert_wave(
     dummy_slot = graph.capacity - 1
     dummy_row = graph.upper_capacity - 1
 
-    # ---- 1. write node data into the tapes. For an int8 tape the caller
-    # provides wave vectors already in scaled units; round-and-clip here.
-    if graph.vectors.dtype == jnp.int8:
-        tape_vals = jnp.clip(jnp.round(wave_vecs), -127, 127).astype(jnp.int8)
-    else:
-        tape_vals = wave_vecs.astype(graph.vectors.dtype)
+    # ---- 1. write node data into the tapes (int8 tapes get scaled-unit
+    # inputs from the caller; cast_to_tape rounds and clips)
     g = dataclasses.replace(
         graph,
-        vectors=graph.vectors.at[slots].set(tape_vals),
+        vectors=graph.vectors.at[slots].set(cast_to_tape(wave_vecs, config)),
         levels=graph.levels.at[slots].set(jnp.where(wave_valid, wave_levels, 0)),
         upper_row=graph.upper_row.at[slots].set(
             jnp.where(wave_valid[:, None], wave_upper_rows, -1)

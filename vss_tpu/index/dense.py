@@ -32,20 +32,15 @@ from vss_tpu.index.graph import (
     sample_levels,
 )
 from vss_tpu.index.search import hnsw_search
+from vss_tpu.utils import next_pow2
 from vss_tpu.ops.distance import Metric
-from vss_tpu.utils import round_up
 
 __all__ = ["HNSWIndex"]
 
 _RESERVE = 8  # tail slots reserved (scatter sink + padding headroom)
 
 
-def _wave_bucket(n: int, cap: int = 1024) -> int:
-    """Round a wave size up to a power of two (bounds jit recompiles)."""
-    w = 1
-    while w < n and w < cap:
-        w *= 2
-    return w
+
 
 
 class HNSWIndex:
@@ -247,7 +242,7 @@ class HNSWIndex:
         # waves (bucketed shapes to bound recompilation)
         pos = 0
         while pos < n:
-            W = _wave_bucket(n - pos)
+            W = next_pow2(n - pos, cap=1024)
             cnt = min(W, n - pos)
             wv = np.zeros((W, self.config.dims), np.float32)
             wv[:cnt] = vectors[pos : pos + cnt]

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HNSWConfig", "HNSWGraph", "empty_graph", "grow_graph", "sample_levels"]
+__all__ = ["HNSWConfig", "HNSWGraph", "cast_to_tape", "empty_graph", "grow_graph", "sample_levels"]
 
 # Defaults mirror the reference's (usearch index.hpp:1282-1298): M=16,
 # M0=2M, ef_construction=128, ef_search=64.
@@ -169,3 +169,11 @@ def sample_levels(n: int, config: HNSWConfig, seed: int = 0) -> np.ndarray:
     u = rng.random(n)
     lv = np.floor(-np.log(u) * config.inv_log_m).astype(np.int32)
     return np.minimum(lv, config.max_levels)
+
+
+def cast_to_tape(x, config: HNSWConfig):
+    """Cast (scaled-unit) f32 vectors to the tape dtype. int8 tapes round
+    and clip; float tapes cast directly."""
+    if config.storage_dtype == "int8":
+        return jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+    return x.astype(config.vector_dtype)

@@ -19,7 +19,13 @@ from typing import Optional
 
 import numpy as np
 
-from vss_tpu.index.graph import HNSWConfig, HNSWGraph, empty_graph, sample_levels
+from vss_tpu.index.graph import (
+    HNSWConfig,
+    HNSWGraph,
+    cast_to_tape,
+    empty_graph,
+    sample_levels,
+)
 from vss_tpu.ops.distance import Metric
 
 __all__ = ["HostGraph", "build_host_graph", "host_graph_to_device"]
@@ -195,16 +201,13 @@ def host_graph_to_device(
     if rowids is None:
         rowids = np.arange(n, dtype=np.int32)
     return HNSWGraph(
-        vectors=(
-            lambda tape: jnp.clip(jnp.round(tape), -127, 127).astype(jnp.int8)
-            if cfg.storage_dtype == "int8"
-            else tape.astype(cfg.vector_dtype)
-        )(
+        vectors=cast_to_tape(
             jnp.asarray(
                 np.concatenate(
                     [g.vectors[:n], np.zeros((cap - n, cfg.dims), np.float32)]
                 )
-            )
+            ),
+            cfg,
         ),
         adj0=jnp.asarray(adj0),
         upper_adj=jnp.asarray(upper_adj),

@@ -15,7 +15,7 @@ from typing import Optional
 import numpy as np
 
 from vss_tpu.csrc import NativeUnavailable, load
-from vss_tpu.index.graph import HNSWConfig, HNSWGraph, empty_graph, sample_levels
+from vss_tpu.index.graph import HNSWConfig, HNSWGraph, cast_to_tape, sample_levels
 
 __all__ = ["native_available", "build_graph_native"]
 
@@ -98,11 +98,7 @@ def build_graph_native(
     srow = np.full(cap, -1, np.int32)
     srow[:n] = np.asarray(rowids, np.int64).astype(np.int32)
     graph = HNSWGraph(
-        vectors=(
-            jnp.clip(jnp.round(jnp.asarray(vec_tape)), -127, 127).astype(jnp.int8)
-            if config.storage_dtype == "int8"
-            else jnp.asarray(vec_tape).astype(config.vector_dtype)
-        ),
+        vectors=cast_to_tape(jnp.asarray(vec_tape), config),
         adj0=jnp.asarray(adj0),
         upper_adj=jnp.asarray(upper_adj),
         upper_row=jnp.asarray(upper_row),

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vss_tpu.utils import cdiv, pad_to, round_up, use_pallas
+from vss_tpu.utils import pad_to, use_pallas
 
 __all__ = ["Metric", "pairwise", "pairwise_pallas", "distance_one"]
 

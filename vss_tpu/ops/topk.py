@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from vss_tpu.ops.distance import Metric, dispatch_pairwise, pairwise
-from vss_tpu.utils import cdiv, pad_to, round_up
+from vss_tpu.utils import pad_to, round_up
 
 __all__ = ["bruteforce_topk", "merge_topk"]
 

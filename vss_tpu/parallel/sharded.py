@@ -270,10 +270,9 @@ class ShardedHNSWIndex:
         self._ensure_capacity(need_cap, need_upper)
         cap = int(self.graphs.vectors.shape[1])
 
-        biggest = max(per_new) if per_new else 1
-        W = 1
-        while W < biggest:
-            W *= 2
+        from vss_tpu.utils import next_pow2
+
+        W = next_pow2(max(per_new) if per_new else 1)
         wv = np.zeros((S, W, d), np.float32)
         sl = np.zeros((S, W), np.int32)
         lv = np.zeros((S, W), np.int32)

@@ -47,11 +47,7 @@ def _is_null(vals: np.ndarray) -> np.ndarray:
     return np.zeros(len(vals), bool)
 
 
-def _bucket(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return max(b, 1)
+from vss_tpu.utils import next_pow2 as _bucket
 
 
 def _search_index(

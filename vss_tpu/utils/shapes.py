@@ -31,3 +31,14 @@ def pad_dim(x, axis: int, target: int, value=0):
 def pad_to(x, axis: int, multiple: int, value=0):
     """Pad along `axis` to the next multiple of `multiple`."""
     return pad_dim(x, axis, round_up(x.shape[axis], multiple), value)
+
+
+def next_pow2(x: int, cap: int | None = None) -> int:
+    """Smallest power of two >= x (>=1); optionally clamped to `cap`.
+
+    Used to bucket dynamic batch/wave sizes so jit recompilation count
+    stays logarithmic in the sizes seen."""
+    p = 1
+    while p < x:
+        p *= 2
+    return min(p, cap) if cap is not None else p
