@@ -1,0 +1,51 @@
+"""Driver contract: bench.py emits one valid JSON line; __graft_entry__
+exposes entry()/dryrun_multichip."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_json_contract():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        VSS_TPU_FORCE_PALLAS="0",
+        VSS_BENCH_N="600",
+        VSS_BENCH_NQ="50",
+        VSS_BENCH_D="16",
+        VSS_BENCH_DELETES="0.2",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=_REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline", "recall_at_k",
+                "build_rows_per_s", "recall_after_compact"):
+        assert key in rec, key
+    assert rec["unit"] == "qps"
+    assert rec["value"] > 0
+    assert rec["recall_at_k"] > 0.8
+
+
+def test_graft_entry_contract():
+    import jax
+
+    sys.path.insert(0, _REPO)
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    d, i = out
+    assert d.shape == i.shape == (64, 10)
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
