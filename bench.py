@@ -15,8 +15,13 @@ Environment knobs:
   VSS_BENCH_NQ       queries         (default 10_000)
   VSS_BENCH_K        top-k           (default 10)
   VSS_BENCH_EF       ef_search       (default 64)
-  VSS_BENCH_WAVE     build wave size (default 2048)
-  VSS_BENCH_EXPAND   beam expansion  (default 4)
+  VSS_BENCH_WAVE     build wave size (default 1024)
+  VSS_BENCH_EXPAND   build beam expansion   (default 4)
+  VSS_BENCH_ESEARCH  search beam expansion  (default 2)
+  VSS_BENCH_QBATCH   query batch            (default 512)
+  VSS_BENCH_METRIC   l2sq|cosine|ip         (default l2sq)
+  VSS_BENCH_STORAGE  f32|bf16|int8          (default f32)
+  VSS_BENCH_RECALL_TARGET  ef escalates until recall >= this (default 0.90)
   VSS_BENCH_DELETES  fraction to tombstone+compact+requery (default 0 = skip)
 """
 import json
