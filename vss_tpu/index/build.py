@@ -45,7 +45,7 @@ from vss_tpu.index.graph import (
 from vss_tpu.index.search import beam_search_base, greedy_descent, _dedupe_keep_first
 from vss_tpu.index.select import select_neighbors
 from vss_tpu.ops.distance import gathered_distances, pairwise
-from vss_tpu.utils import round_up
+from vss_tpu.utils import cdiv, round_up
 
 __all__ = ["build_graph_batched", "insert_wave", "plan_wave_rows"]
 
@@ -150,6 +150,16 @@ def insert_wave(
     intra_k: int = 16,
 ) -> HNSWGraph:
     """Insert one wave of nodes. Pure function; jits once per wave shape."""
+    return _insert_wave_core(
+        graph, config, wave_vecs, slots, wave_levels, wave_upper_rows,
+        wave_rowids, wave_valid, efc, expand, intra_k,
+    )
+
+
+def _insert_wave_core(
+    graph, config, wave_vecs, slots, wave_levels, wave_upper_rows,
+    wave_rowids, wave_valid, efc, expand=4, intra_k=16,
+) -> HNSWGraph:
     W = wave_vecs.shape[0]
     wave_vecs = wave_vecs.astype(jnp.float32)
     old_entry = graph.entry
@@ -289,6 +299,48 @@ def plan_wave_rows(
     return rows, next_row + int(lv.sum())
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "W", "n_waves", "efc", "expand", "intra_k"),
+    donate_argnames=("graph",),
+)
+def _build_segment(
+    graph: HNSWGraph,
+    config: HNSWConfig,
+    vecs_pad: jax.Array,  # [n_pad, d] f32 (scaled units for int8 tapes)
+    levels_pad: jax.Array,  # [n_pad] i32
+    urows_pad: jax.Array,  # [n_pad, Lmax] i32
+    rowids_pad: jax.Array,  # [n_pad] i32 (-1 padding)
+    valid_pad: jax.Array,  # [n_pad] bool
+    w_start: jax.Array,  # i32 scalar: first wave index of this segment
+    W: int,
+    n_waves: int,
+    efc: int,
+    expand: int,
+    intra_k: int,
+) -> HNSWGraph:
+    """Insert `n_waves` consecutive waves in ONE device program.
+
+    The per-wave host round trip (upload + dispatch) costs ~100ms through
+    a tunneled device — 977 waves of that dwarfs the actual compute. With
+    all build inputs device-resident, a `fori_loop` over waves makes the
+    whole segment a single dispatch."""
+
+    def body(i, g):
+        s0 = (w_start + i) * W
+        wv = jax.lax.dynamic_slice_in_dim(vecs_pad, s0, W).astype(jnp.float32)
+        lv = jax.lax.dynamic_slice_in_dim(levels_pad, s0, W)
+        ur = jax.lax.dynamic_slice_in_dim(urows_pad, s0, W)
+        rid = jax.lax.dynamic_slice_in_dim(rowids_pad, s0, W)
+        va = jax.lax.dynamic_slice_in_dim(valid_pad, s0, W)
+        slots = s0 + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+        return _insert_wave_core(
+            g, config, wv, slots, lv, ur, rid, va, efc, expand, intra_k
+        )
+
+    return jax.lax.fori_loop(0, n_waves, body, graph)
+
+
 def build_graph_batched(
     vectors,
     config: HNSWConfig,
@@ -301,8 +353,11 @@ def build_graph_batched(
     expand: int = 4,
     intra_k: Optional[int] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    waves_per_dispatch: int = 64,
 ) -> tuple[HNSWGraph, int]:
-    """Build a graph over `vectors` [n, d] with fixed-size insert waves.
+    """Build a graph over `vectors` [n, d] with fixed-size insert waves,
+    executed as device-resident segments of `waves_per_dispatch` waves per
+    dispatch (all inputs uploaded once).
 
     Returns (graph, upper_rows_used). Deterministic given `seed`.
     The last slot of the allocated capacity is reserved as a scatter sink
@@ -321,30 +376,32 @@ def build_graph_batched(
     graph = empty_graph(config, capacity, upper_cap)
     if rowids is None:
         rowids = np.arange(n, dtype=np.int32)
-    next_row = 0
-    for s in range(0, n, W):
-        e = min(s + W, n)
-        cnt = e - s
-        wv = np.zeros((W, d), np.float32)
-        wv[:cnt] = vectors[s:e]
-        lv_w = np.zeros(W, np.int32)
-        lv_w[:cnt] = levels[s:e]
-        urows, next_row = plan_wave_rows(lv_w, next_row, config.max_levels)
-        rid = np.full(W, -1, np.int32)
-        rid[:cnt] = rowids[s:e]
-        graph = insert_wave(
-            graph,
-            config,
-            jnp.asarray(wv),
-            jnp.asarray(np.arange(s, s + W, dtype=np.int32)),
-            jnp.asarray(lv_w),
-            jnp.asarray(urows),
-            jnp.asarray(rid),
-            jnp.asarray(np.arange(W) < cnt),
-            efc,
-            expand,
-            intra_k,
+
+    n_waves = cdiv(n, W)
+    n_pad = n_waves * W
+    vecs_pad = np.zeros((n_pad, d), np.float32)
+    vecs_pad[:n] = vectors
+    levels_pad = np.zeros(n_pad, np.int32)
+    levels_pad[:n] = levels
+    urows_pad, next_row = plan_wave_rows(levels_pad, 0, config.max_levels)
+    rowids_pad = np.full(n_pad, -1, np.int32)
+    rowids_pad[:n] = np.asarray(rowids, np.int64).astype(np.int32)
+    valid_pad = np.arange(n_pad) < n
+
+    args = [
+        jnp.asarray(vecs_pad),
+        jnp.asarray(levels_pad),
+        jnp.asarray(urows_pad),
+        jnp.asarray(rowids_pad),
+        jnp.asarray(valid_pad),
+    ]
+    done = 0
+    for w0 in range(0, n_waves, waves_per_dispatch):
+        seg = min(waves_per_dispatch, n_waves - w0)
+        graph = _build_segment(
+            graph, config, *args, jnp.int32(w0), W, seg, efc, expand, intra_k
         )
+        done = min((w0 + seg) * W, n)
         if progress is not None:
-            progress(e, n)
+            progress(done, n)
     return graph, next_row
