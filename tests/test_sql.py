@@ -205,3 +205,16 @@ def test_group_by(db):
     # non-aggregate column outside GROUP BY -> binder error
     with pytest.raises(BinderError, match="must appear in GROUP BY"):
         db.sql("SELECT val, count(*) FROM labeled GROUP BY grp")
+
+
+def test_multi_statement_sql():
+    db = Database()
+    res = db.sql(
+        "CREATE TABLE t (id BIGINT, vec FLOAT[2]); "
+        "INSERT INTO t VALUES (1, [1.0, 2.0]), (2, [3.0, 4.0]); "
+        "CREATE INDEX i ON t USING HNSW (vec); "
+        "SELECT id FROM t ORDER BY vec <-> [2.9, 4.1] LIMIT 1"
+    )
+    assert res["id"][0] == 2
+    # semicolons inside string literals survive
+    db.sql("CREATE TABLE s (name VARCHAR)")

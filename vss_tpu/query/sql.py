@@ -421,8 +421,45 @@ _TYPE_MAP = {
 
 
 def execute_sql(db: Database, text: str):
-    """Execute one SQL statement; returns a result dict (SELECT/EXPLAIN/
-    pragma info) or None for DDL/DML."""
+    """Execute SQL; returns the last statement's result dict (SELECT/
+    EXPLAIN/pragma info) or None for DDL/DML. Multiple statements may be
+    separated by ';' (string literals are ';'-safe)."""
+    statements = _split_statements(text)
+    result = None
+    for stmt in statements:
+        result = _execute_one(db, stmt)
+    return result
+
+
+def _split_statements(text: str) -> list[str]:
+    out, cur, in_str = [], [], False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == ";":
+            if "".join(cur).strip():
+                out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+def _execute_one(db: Database, text: str):
     p = _Parser(text)
     kind, v = p.peek()
     if kind != "id":
