@@ -218,3 +218,13 @@ def test_multi_statement_sql():
     assert res["id"][0] == 2
     # semicolons inside string literals survive
     db.sql("CREATE TABLE s (name VARCHAR)")
+
+
+def test_scalar_nulls():
+    db = Database()
+    db.sql("CREATE TABLE p (name VARCHAR, score FLOAT, n BIGINT)")
+    db.sql("INSERT INTO p VALUES ('a', 1.5, 1), (NULL, NULL, 2)")
+    r = db.sql("SELECT count(*) AS rows, count(name) AS names, count(score) AS scores FROM p")
+    assert (r["rows"][0], r["names"][0], r["scores"][0]) == (2, 1, 1)
+    with pytest.raises(BinderError, match="integer column"):
+        db.sql("INSERT INTO p VALUES ('c', 2.0, NULL)")

@@ -139,14 +139,29 @@ class Table:
             )
         n = None
         for cname, vals in data.items():
-            if self.columns[cname].ndim == 2 and isinstance(vals, (list, tuple)):
-                # allow None entries for NULL vectors (stored as NaN rows)
-                dims = self.columns[cname].shape[1]
-                vals = [
-                    np.full(dims, np.nan, np.float32) if v is None else v
-                    for v in vals
-                ]
-            arr = np.asarray(vals)
+            col = self.columns[cname]
+            if isinstance(vals, (list, tuple)) and any(v is None for v in vals):
+                # NULL mapping: vectors -> NaN rows; float scalars -> NaN;
+                # object (VARCHAR) keeps None; integers cannot hold NULL
+                if col.ndim == 2:
+                    dims = col.shape[1]
+                    vals = [
+                        np.full(dims, np.nan, np.float32) if v is None else v
+                        for v in vals
+                    ]
+                elif col.dtype.kind == "f":
+                    vals = [np.nan if v is None else v for v in vals]
+                elif col.dtype == object:
+                    vals = list(vals)
+                else:
+                    raise BinderError(
+                        f"NULL is not supported for integer column '{cname}'"
+                    )
+            if col.dtype == object and isinstance(vals, (list, tuple)):
+                arr = np.empty(len(vals), object)
+                arr[:] = vals
+            else:
+                arr = np.asarray(vals)
             if self.columns[cname].ndim == 2:
                 arr = arr.astype(np.float32)
                 if arr.ndim == 1:
