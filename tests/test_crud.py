@@ -193,3 +193,61 @@ def test_concurrent_search_and_insert(rng):
         t.join()
     assert not errors, errors
     assert db.table("t").num_rows == 410
+
+
+class TestAdvisoryFixes:
+    """Regression tests for the round-1 advisor findings (ADVICE.md)."""
+
+    def test_failed_insert_leaves_table_untouched(self):
+        """A rejected INSERT (NULL into integer column) must not leave
+        earlier columns extended (atomic append)."""
+        from vss_tpu.query.table import Database, BinderError
+        import pytest
+
+        db = Database()
+        db.create_table(
+            "t",
+            {
+                "name": np.asarray(["a", "b"], object),
+                "score": np.asarray([1.0, 2.0], np.float64),
+                "n": np.asarray([1, 2], np.int64),
+            },
+        )
+        with pytest.raises(BinderError):
+            db.insert("t", {"name": ["c"], "score": [2.0], "n": [None]})
+        t = db.table("t")
+        assert all(len(v) == 2 for v in t.columns.values())
+        # a subsequent valid insert lands cleanly, no spliced ghost row
+        db.insert("t", {"name": ["d"], "score": [3.0], "n": [3]})
+        chunk = t.chunk()
+        assert chunk["name"].tolist() == ["a", "b", "d"]
+        assert chunk["n"].tolist() == [1, 2, 3]
+
+    def test_rowid_int32_overflow_rejected(self, rng):
+        from vss_tpu.index import HNSWConfig
+        from vss_tpu.index.dense import HNSWIndex
+        import pytest
+
+        vecs = rng.standard_normal((4, 8)).astype(np.float32)
+        cfg = HNSWConfig(dims=8)
+        with pytest.raises(ValueError, match="int32"):
+            HNSWIndex.build(vecs, cfg, rowids=np.asarray([0, 1, 2, 2**31]))
+        idx = HNSWIndex.build(vecs, cfg)
+        with pytest.raises(ValueError, match="int32"):
+            idx.insert(vecs[:1], [2**40])
+
+    def test_positions_of_rowids_survives_reorder(self):
+        """positions_of_rowids must not assume physically sorted rowids."""
+        from vss_tpu.query.table import Table
+
+        t = Table("t", {"x": np.arange(6, dtype=np.int64)})
+        # simulate a physical reorder (e.g. a future compaction)
+        perm = np.asarray([3, 1, 5, 0, 4, 2])
+        t.rowids = t.rowids[perm]
+        t.row_valid = t.row_valid[perm]
+        for c in t.columns:
+            t.columns[c] = t.columns[c][perm]
+        t._bump()
+        pos = t.positions_of_rowids(np.asarray([5, 0, 99]))
+        assert pos.tolist() == [2, 3, -1]
+        assert t.columns["x"][pos[0]] == 5

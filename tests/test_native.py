@@ -183,3 +183,21 @@ def test_db_index_drop_recreate_reclaims_blocks(tmp_path, rng):
     db2 = Database.open(p)
     d, rows = db2.indexes["i"].index.search(vecs[:3], k=1)
     assert np.asarray(rows)[:, 0].tolist() == [0, 1, 2]
+
+
+def test_blockstore_rejects_long_names(tmp_path):
+    """Directory records have a fixed 56-byte name field; longer names
+    previously truncated silently and could collide after reopen."""
+    from vss_tpu.storage.blockfile import BlockStore, blockstore_available
+
+    if not blockstore_available():
+        import pytest
+
+        pytest.skip("native blockstore unavailable")
+    with BlockStore(str(tmp_path / "s.vssdb")) as bs:
+        bs.put("x" * 55, b"ok")
+        import pytest
+
+        with pytest.raises(IOError):
+            bs.put("y" * 56, b"no")
+        assert bs.get("x" * 55) == b"ok"

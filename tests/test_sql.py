@@ -228,3 +228,45 @@ def test_scalar_nulls():
     assert (r["rows"][0], r["names"][0], r["scores"][0]) == (2, 1, 1)
     with pytest.raises(BinderError, match="integer column"):
         db.sql("INSERT INTO p VALUES ('c', 2.0, NULL)")
+
+
+def test_aggregates_skip_nulls():
+    """SQL semantics: sum/avg/min/max skip NULLs; all-NULL input -> NULL
+    (round-1 advisor finding: these previously returned NaN)."""
+    db = Database()
+    db.sql("CREATE TABLE p (g BIGINT, score FLOAT)")
+    db.sql("INSERT INTO p VALUES (0, 1.5), (0, NULL), (0, 2.5), (1, NULL)")
+    r = db.sql("SELECT sum(score) AS s, avg(score) AS a, min(score) AS lo, max(score) AS hi FROM p")
+    assert r["s"][0] == 4.0
+    assert r["a"][0] == 2.0
+    assert (r["lo"][0], r["hi"][0]) == (1.5, 2.5)
+    # grouped: group 1 is all-NULL -> NULL (NaN-encoded for floats)
+    r = db.sql("SELECT g, sum(score) AS s, count(score) AS c FROM p GROUP BY g")
+    by_g = {int(g): (s, c) for g, s, c in zip(r["g"], r["s"], r["c"])}
+    assert by_g[0] == (4.0, 2)
+    assert np.isnan(by_g[1][0]) and by_g[1][1] == 0
+    # all-NULL simple aggregate -> NULL
+    r = db.sql("SELECT sum(score) AS s FROM p WHERE g = 1")
+    assert r["s"][0] is None
+
+
+def test_varchar_checkpoint_roundtrip(tmp_path):
+    """VARCHAR (object) columns round-trip through checkpoints without
+    pickling (round-1 advisor finding: np.load refused the pickled file)."""
+    db = Database()
+    db.sql("CREATE TABLE p (name VARCHAR, score FLOAT)")
+    db.sql("INSERT INTO p VALUES ('alpha', 1.0), (NULL, 2.0), ('c', NULL)")
+    # directory checkpoint
+    db.sql(f"CHECKPOINT '{tmp_path}/dbdir'")
+    db2 = Database.open(f"{tmp_path}/dbdir")
+    r = db2.sql("SELECT name FROM p")
+    assert r["name"].tolist() == ["alpha", None, "c"]
+    # single-file block store checkpoint
+    from vss_tpu.storage.blockfile import blockstore_available
+
+    if blockstore_available():
+        db.sql(f"CHECKPOINT '{tmp_path}/db.vssdb'")
+        db3 = Database.open(f"{tmp_path}/db.vssdb")
+        r = db3.sql("SELECT name, score FROM p")
+        assert r["name"].tolist() == ["alpha", None, "c"]
+        assert r["score"][0] == 1.0 and np.isnan(r["score"][2])

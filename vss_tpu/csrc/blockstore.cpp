@@ -233,6 +233,10 @@ int bs_close(void* h) {
 
 int bs_put(void* h, const char* name, const char* data, int64_t len) {
   auto* s = as_store(h);
+  // Directory records hold the name in a fixed 56-byte field (flush_meta);
+  // a longer name would silently truncate and could collide with another
+  // stream sharing its 55-byte prefix after reopen. Reject instead.
+  if (std::strlen(name) > 55) return 2;
   auto it = s->dir.find(name);
   if (it != s->dir.end()) {
     s->free_chain(it->second.head);

@@ -27,6 +27,7 @@ from vss_tpu.index.build import build_graph_batched, insert_wave, plan_wave_rows
 from vss_tpu.index.graph import (
     HNSWConfig,
     HNSWGraph,
+    check_rowids_int32,
     empty_graph,
     grow_graph,
     sample_levels,
@@ -94,6 +95,7 @@ class HNSWIndex:
         if rowids is None:
             rowids = np.arange(n, dtype=np.int64)
         rowids = np.asarray(rowids)
+        check_rowids_int32(rowids)
         if config.storage_dtype == "int8":
             # graph-internal values live in scaled units; the scale maps
             # them back for user-visible distances
@@ -219,6 +221,7 @@ class HNSWIndex:
         if self.config.storage_dtype == "int8":
             vectors = vectors / self.vector_scale  # out-of-range clips in-wave
         rowids = np.asarray(rowids, np.int64)
+        check_rowids_int32(rowids)
         n = vectors.shape[0]
         if n == 0:
             return

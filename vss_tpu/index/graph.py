@@ -171,6 +171,23 @@ def sample_levels(n: int, config: HNSWConfig, seed: int = 0) -> np.ndarray:
     return np.minimum(lv, config.max_levels)
 
 
+def check_rowids_int32(rowids) -> None:
+    """The index key tape (`slot_to_rowid`) is int32 — the TPU-friendly
+    width for the per-result gather. User rowids are int64; anything past
+    2^31-1 would silently wrap, so reject it loudly here (the reference's
+    `row_t` is a template parameter instantiated at 64-bit,
+    `hnsw_index.hpp:34`; widening our tape is the upgrade path if a table
+    ever legitimately exceeds 2^31 rowids)."""
+    rowids = np.asarray(rowids)
+    if rowids.size and (
+        int(rowids.max()) > 2**31 - 1 or int(rowids.min()) < 0
+    ):
+        raise ValueError(
+            "rowid out of the int32 range supported by the HNSW index "
+            f"(got {int(rowids.min())}..{int(rowids.max())})"
+        )
+
+
 def cast_to_tape(x, config: HNSWConfig):
     """Cast (scaled-unit) f32 vectors to the tape dtype. int8 tapes round
     and clip; float tapes cast directly."""

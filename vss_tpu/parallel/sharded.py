@@ -24,7 +24,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vss_tpu.index.build import insert_wave, plan_wave_rows
-from vss_tpu.index.graph import HNSWConfig, HNSWGraph, empty_graph, sample_levels
+from vss_tpu.index.graph import (
+    HNSWConfig,
+    HNSWGraph,
+    check_rowids_int32,
+    empty_graph,
+    sample_levels,
+)
 from vss_tpu.index.search import hnsw_search
 from vss_tpu.ops.topk import merge_topk
 from vss_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -62,6 +68,11 @@ class ShardedHNSWIndex:
         self._insert_seed = 0
         self._insert_counter = 0
         self.dirty = False
+        # per-instance jit caches. NOT functools.lru_cache on the methods:
+        # that would key on `self` and pin every index (and its device
+        # arrays) for the process lifetime — a leak in long-lived services.
+        self._wave_fns: dict = {}
+        self._search_fns: dict = {}
 
     # the per-slot filter-mask surface only exists on single-shard indexes
     supports_filter_pushdown = False
@@ -97,6 +108,7 @@ class ShardedHNSWIndex:
         n, d = vectors.shape
         if rowids is None:
             rowids = np.arange(n, dtype=np.int64)
+        check_rowids_int32(rowids)
         efc = efc or config.ef_construction
 
         # round-robin partition (balanced for any input order; the
@@ -156,8 +168,10 @@ class ShardedHNSWIndex:
         self._insert_counter = n
         return self
 
-    @functools.lru_cache(maxsize=None)
     def _make_wave_fn(self, W: int, efc: int, expand: int, intra_k: int):
+        key = (W, efc, expand, intra_k)
+        if key in self._wave_fns:
+            return self._wave_fns[key]
         config = self.config
 
         def per_shard(graph_blk, wv, sl, lv, ur, rid, va):
@@ -175,11 +189,14 @@ class ShardedHNSWIndex:
             out_specs=P(SHARD_AXIS),
             check_vma=False,
         )
-        return jax.jit(fn)
+        self._wave_fns[key] = jax.jit(fn)
+        return self._wave_fns[key]
 
     # ------------------------------------------------------------ search
-    @functools.lru_cache(maxsize=None)
     def _search_fn(self, k: int, ef: int, expand: int, all_valid: bool):
+        key = (k, ef, expand, all_valid)
+        if key in self._search_fns:
+            return self._search_fns[key]
         config = self.config
 
         def per_shard(graph_blk, q):
@@ -210,7 +227,8 @@ class ShardedHNSWIndex:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(fn)
+        self._search_fns[key] = jax.jit(fn)
+        return self._search_fns[key]
 
     def search(self, queries, k: int, ef: Optional[int] = None,
                expand: int = 1, filter_mask=None):
@@ -237,6 +255,7 @@ class ShardedHNSWIndex:
         if vectors.ndim == 1:
             vectors = vectors[None]
         rowids = np.asarray(rowids, np.int64)
+        check_rowids_int32(rowids)
         n = vectors.shape[0]
         S = self.n_shards
         d = self.config.dims

@@ -137,22 +137,30 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
                 out[name] = np.bincount(ginv, minlength=n_groups)
                 continue
             vals = np.asarray(arg.evaluate(chunk), np.float64)
+            # SQL aggregate semantics: NULLs (NaN-encoded) are skipped;
+            # a group whose inputs are all NULL aggregates to NULL (NaN)
+            null = _is_null(vals)
+            nn = np.bincount(
+                ginv, weights=(~null).astype(np.float64), minlength=n_groups
+            )
             if fn == "count":
-                out[name] = np.bincount(
-                    ginv, weights=(~_is_null(vals)).astype(np.float64),
-                    minlength=n_groups,
-                ).astype(np.int64)
+                out[name] = nn.astype(np.int64)
             elif fn == "sum":
-                out[name] = np.bincount(ginv, weights=vals, minlength=n_groups)
+                s = np.bincount(
+                    ginv, weights=np.where(null, 0.0, vals), minlength=n_groups
+                )
+                out[name] = np.where(nn > 0, s, np.nan)
             elif fn == "avg":
-                s = np.bincount(ginv, weights=vals, minlength=n_groups)
-                c = np.bincount(ginv, minlength=n_groups)
-                out[name] = s / np.maximum(c, 1)
+                s = np.bincount(
+                    ginv, weights=np.where(null, 0.0, vals), minlength=n_groups
+                )
+                out[name] = np.where(nn > 0, s / np.maximum(nn, 1), np.nan)
             elif fn in ("min", "max"):
                 red = np.full(n_groups, np.inf if fn == "min" else -np.inf)
                 ufn = np.minimum if fn == "min" else np.maximum
-                ufn.at(red, ginv, vals)
-                out[name] = red
+                masked = np.where(null, np.inf if fn == "min" else -np.inf, vals)
+                ufn.at(red, ginv, masked)
+                out[name] = np.where(nn > 0, red, np.nan)
             else:
                 raise NotImplementedError(f"aggregate '{fn}'")
         return out
@@ -168,14 +176,18 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             vals = np.asarray(arg.evaluate(chunk)) if n else np.asarray([])
             if fn == "count":
                 out[name] = np.asarray([int(np.sum(~_is_null(vals)))])
-            elif fn == "sum":
-                out[name] = np.asarray([vals.sum() if n else None])
+                continue
+            # SQL semantics: skip NULLs; empty / all-NULL input -> NULL
+            nonnull = vals[~_is_null(vals)] if n else vals
+            m = len(nonnull)
+            if fn == "sum":
+                out[name] = np.asarray([nonnull.sum() if m else None])
             elif fn == "avg":
-                out[name] = np.asarray([vals.mean() if n else None])
+                out[name] = np.asarray([nonnull.mean() if m else None])
             elif fn == "min":
-                out[name] = np.asarray([vals.min() if n else None])
+                out[name] = np.asarray([nonnull.min() if m else None])
             elif fn == "max":
-                out[name] = np.asarray([vals.max() if n else None])
+                out[name] = np.asarray([nonnull.max() if m else None])
             else:
                 raise NotImplementedError(f"aggregate '{fn}'")
         return out

@@ -113,16 +113,25 @@ class Table:
         return out
 
     def positions_of_rowids(self, rowids: np.ndarray) -> np.ndarray:
-        """rowid -> physical position (rowids are appended in increasing
-        order, so binary search works). -1 for misses."""
+        """rowid -> physical position, -1 for misses.
+
+        Rowids are appended in increasing order today, but nothing forces
+        that to stay true (a future physical reorder would otherwise
+        silently corrupt fetches), so the binary search runs over a
+        sort-order view cached per table version."""
         rowids = np.asarray(rowids, np.int64)
-        pos = np.searchsorted(self.rowids, rowids)
-        pos = np.clip(pos, 0, max(len(self.rowids) - 1, 0))
-        ok = (
-            (len(self.rowids) > 0)
-            & (self.rowids[pos] == rowids)
-            & self.row_valid[pos]
-        )
+        n = len(self.rowids)
+        if n == 0:
+            return np.full(len(rowids), -1, np.int64)
+        key = "__rowid_order__"
+        if key not in self._device_cache:
+            order = np.argsort(self.rowids, kind="stable")
+            self._device_cache[key] = (order, self.rowids[order])
+        order, sorted_ids = self._device_cache[key]
+        j = np.searchsorted(sorted_ids, rowids)
+        j = np.clip(j, 0, n - 1)
+        pos = order[j]
+        ok = (sorted_ids[j] == rowids) & self.row_valid[pos]
         return np.where(ok, pos, -1)
 
     def fetch(self, rowids: np.ndarray) -> dict[str, np.ndarray]:
@@ -132,11 +141,15 @@ class Table:
 
     # ------------------------------------------------------------ DML
     def append(self, data: dict[str, np.ndarray]) -> np.ndarray:
+        """INSERT rows. Conversion + validation happen into a staging dict
+        first; `self.columns` is only touched after every column passes, so
+        a rejected INSERT leaves the table untouched (all-or-nothing)."""
         cols = set(self.columns)
         if set(data) != cols:
             raise BinderError(
                 f"INSERT columns {sorted(data)} != table columns {sorted(cols)}"
             )
+        staged: dict[str, np.ndarray] = {}
         n = None
         for cname, vals in data.items():
             col = self.columns[cname]
@@ -162,15 +175,18 @@ class Table:
                 arr[:] = vals
             else:
                 arr = np.asarray(vals)
-            if self.columns[cname].ndim == 2:
+            if col.ndim == 2:
                 arr = arr.astype(np.float32)
                 if arr.ndim == 1:
                     arr = arr[None, :]
-                if arr.shape[1] != self.columns[cname].shape[1]:
+                if arr.shape[1] != col.shape[1]:
                     raise BinderError("vector dimension mismatch on INSERT")
             n = arr.shape[0] if n is None else n
             if arr.shape[0] != n:
                 raise BinderError("column length mismatch on INSERT")
+            staged[cname] = arr
+        n = n or 0
+        for cname, arr in staged.items():
             self.columns[cname] = np.concatenate([self.columns[cname], arr])
         new_ids = np.arange(self.next_rowid, self.next_rowid + n, dtype=np.int64)
         self.next_rowid += n
@@ -186,6 +202,46 @@ class Table:
         self.row_valid[pos] = False
         self._bump()
         return deleted
+
+
+def _encode_table_arrays(t: Table) -> dict[str, np.ndarray]:
+    """npz-safe arrays for a table. Object (VARCHAR) columns cannot go
+    through np.savez as-is — numpy pickles them, and np.load with the safe
+    default allow_pickle=False then cannot read the checkpoint back (and
+    allow_pickle=True would execute pickled payloads on open). Store them
+    as fixed-width unicode arrays plus a null mask instead."""
+    arrs: dict[str, np.ndarray] = {}
+    for name, col in t.columns.items():
+        if col.dtype == object:
+            arrs[f"__vstr__{name}"] = np.asarray(
+                ["" if v is None else str(v) for v in col], dtype=str
+            )
+            arrs[f"__vnull__{name}"] = np.asarray(
+                [v is None for v in col], bool
+            )
+        else:
+            arrs[name] = col
+    arrs["__rowids__"] = t.rowids
+    arrs["__valid__"] = t.row_valid
+    return arrs
+
+
+def _decode_table_columns(data) -> dict[str, np.ndarray]:
+    """Inverse of `_encode_table_arrays` (columns only, in saved order)."""
+    cols: dict[str, np.ndarray] = {}
+    for k in data.files:
+        if k.startswith("__vstr__"):
+            name = k[len("__vstr__"):]
+            strs = data[k]
+            nulls = data[f"__vnull__{name}"]
+            out = np.empty(len(strs), object)
+            out[:] = [
+                None if null else s for s, null in zip(strs.tolist(), nulls)
+            ]
+            cols[name] = out
+        elif not k.startswith("__"):
+            cols[k] = data[k]
+    return cols
 
 
 @dataclasses.dataclass
@@ -470,9 +526,7 @@ class Database:
         os.makedirs(path, exist_ok=True)
         catalog = {"tables": {}, "indexes": {}, "settings": self.settings}
         for name, t in self.tables.items():
-            arrs = dict(t.columns)
-            arrs["__rowids__"] = t.rowids
-            arrs["__valid__"] = t.row_valid
+            arrs = _encode_table_arrays(t)
             np.savez_compressed(os.path.join(path, f"table_{name}.npz"), **arrs)
             catalog["tables"][name] = {"next_rowid": t.next_rowid}
         from vss_tpu.parallel.sharded import ShardedHNSWIndex
@@ -501,9 +555,7 @@ class Database:
             catalog = {"tables": {}, "indexes": {}, "settings": self.settings}
             live = set()
             for name, t in self.tables.items():
-                arrs = dict(t.columns)
-                arrs["__rowids__"] = t.rowids
-                arrs["__valid__"] = t.row_valid
+                arrs = _encode_table_arrays(t)
                 buf = io.BytesIO()
                 np.savez_compressed(buf, **arrs)
                 bs.put(f"table:{name}", buf.getvalue())
@@ -555,7 +607,7 @@ class Database:
             db.settings.update(catalog.get("settings", {}))
             for name, meta in catalog["tables"].items():
                 data = np.load(io.BytesIO(bs.get(f"table:{name}")))
-                cols = {k: data[k] for k in data.files if not k.startswith("__")}
+                cols = _decode_table_columns(data)
                 t = Table(name, cols)
                 t.rowids = data["__rowids__"]
                 t.row_valid = data["__valid__"]
@@ -602,7 +654,7 @@ class Database:
         db.settings.update(catalog.get("settings", {}))
         for name, meta in catalog["tables"].items():
             data = np.load(os.path.join(path, f"table_{name}.npz"))
-            cols = {k: data[k] for k in data.files if not k.startswith("__")}
+            cols = _decode_table_columns(data)
             t = Table(name, cols)
             t.rowids = data["__rowids__"]
             t.row_valid = data["__valid__"]

@@ -62,6 +62,10 @@ class BlockStore:
         self.path = path
 
     def put(self, name: str, data: bytes):
+        if len(name.encode()) > 55:
+            raise IOError(
+                f"block store stream name too long (max 55 bytes): '{name}'"
+            )
         rc = self._lib.bs_put(self._h, name.encode(), data, len(data))
         if rc != 0:
             raise IOError(f"block store write failed for '{name}'")
