@@ -174,15 +174,20 @@ class HNSWIndex:
             q = q[None, :]
         if self.config.storage_dtype == "int8":
             q = q / self.vector_scale
+        # snapshot the graph reference ONCE: device arrays are immutable
+        # and DML publishes a fresh pytree, so concurrent searches need no
+        # lock at all (vs. the reference's shared StorageLock,
+        # hnsw_index.cpp:331-333)
+        g = self.graph
         d, slots = hnsw_search(
-            self.graph, self.config, q, k, ef=ef, filter_mask=filter_mask,
+            g, self.config, q, k, ef=ef, filter_mask=filter_mask,
             expand=expand, assume_all_valid=self.deleted_count == 0,
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
         rows = jnp.where(
             slots >= 0,
-            jnp.take(self.graph.slot_to_rowid, jnp.maximum(slots, 0)),
+            jnp.take(g.slot_to_rowid, jnp.maximum(slots, 0)),
             -1,
         )
         return d, rows

@@ -237,14 +237,15 @@ class ShardedHNSWIndex:
             raise NotImplementedError(
                 "sharded indexes do not support slot filter masks"
             )
-        if self.graphs is None:
+        graphs = self.graphs  # snapshot: lock-free concurrent reads
+        if graphs is None:
             raise ValueError("index is empty — call build() first")
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
         ef = max(ef or self.config.ef_search, k)
         fn = self._search_fn(k, ef, expand, self.deleted_count == 0)
-        return fn(self.graphs, q)
+        return fn(graphs, q)
 
     # ------------------------------------------------------------ CRUD
     def insert(self, vectors, rowids):

@@ -47,6 +47,62 @@ def _is_null(vals: np.ndarray) -> np.ndarray:
     return np.zeros(len(vals), bool)
 
 
+def _expr_columns(e) -> set:
+    """Column names referenced by an expression tree."""
+    from vss_tpu.query.ir import ColumnRef
+
+    out = set()
+
+    def walk(x):
+        if isinstance(x, ColumnRef):
+            out.add(x.name)
+        for c in x.children():
+            walk(c)
+
+    walk(e)
+    return out
+
+
+def _unpack_agg(item):
+    """Aggregate item: (fn, arg[, orders[, filter]])."""
+    fn, arg, *rest = item
+    orders = rest[0] if len(rest) > 0 else None
+    filt = rest[1] if len(rest) > 1 else None
+    return fn, arg, orders, filt
+
+
+def _order_positions(chunk, keys, n, rowid_tiebreak=True):
+    """Row order under a multi-key ORDER BY. Each key is (Expr, ascending);
+    NULLs (NaN / None) sort last in either direction, matching DuckDB's
+    default null order. Ties break by rowid for determinism."""
+    cols = []
+    if rowid_tiebreak and "__rowid__" in chunk:
+        cols.append(np.asarray(chunk["__rowid__"]))
+    else:
+        cols.append(np.arange(n))
+    for e, asc in reversed(keys):
+        vals = np.asarray(e.evaluate(chunk))
+        if vals.dtype == object:
+            null = np.asarray([v is None for v in vals])
+            filled = np.where(null, "", vals)
+            _, codes = np.unique(filled.astype(str), return_inverse=True)
+            key = codes.astype(np.float64)
+            key = np.where(null, np.inf, key if asc else -key)
+        else:
+            key = vals.astype(np.float64)
+            null = np.isnan(key)
+            key = np.where(null, np.inf, key if asc else -key)
+        cols.append(key)
+    return np.lexsort(tuple(cols))
+
+
+def _sort_subset(chunk, keys, positions):
+    """Order a row subset by aggregate-internal ORDER BY keys."""
+    sub = {c: np.asarray(v)[positions] for c, v in chunk.items()}
+    order = _order_positions(sub, keys, len(positions), rowid_tiebreak=False)
+    return positions[order]
+
+
 from vss_tpu.utils import next_pow2 as _bucket
 
 
@@ -132,11 +188,32 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             key: np.asarray(chunk[key])[first_pos] for key in node.keys
         }
         n_groups = len(group_codes)
-        for name, (fn, arg) in node.items.items():
+        for name, item in node.items.items():
+            fn, arg, orders, filt = _unpack_agg(item)
+            fmask = (
+                np.asarray(filt.evaluate(chunk), bool)
+                if filt is not None
+                else np.ones(n, bool)
+            )
+            if fn == "list":
+                # per-group ordered value list (DuckDB list() aggregate)
+                lists = []
+                for g in range(n_groups):
+                    pos = np.flatnonzero((ginv == g) & fmask)
+                    if orders:
+                        pos = _sort_subset(chunk, orders, pos)
+                    lists.append(np.asarray(arg.evaluate(chunk))[pos].tolist())
+                arr = np.empty(n_groups, object)
+                arr[:] = lists
+                out[name] = arr
+                continue
             if fn == "count" and arg is None:
-                out[name] = np.bincount(ginv, minlength=n_groups)
+                out[name] = np.bincount(
+                    ginv, weights=fmask.astype(np.float64), minlength=n_groups
+                ).astype(np.int64)
                 continue
             vals = np.asarray(arg.evaluate(chunk), np.float64)
+            vals = np.where(fmask, vals, np.nan)
             # SQL aggregate semantics: NULLs (NaN-encoded) are skipped;
             # a group whose inputs are all NULL aggregates to NULL (NaN)
             null = _is_null(vals)
@@ -169,11 +246,28 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         chunk = run(node.child)
         n = len(next(iter(chunk.values()))) if chunk else 0
         out = {}
-        for name, (fn, arg) in node.items.items():
+        for name, item in node.items.items():
+            fn, arg, orders, filt = _unpack_agg(item)
+            fmask = (
+                np.asarray(filt.evaluate(chunk), bool)
+                if filt is not None and n
+                else np.ones(n, bool)
+            )
+            if fn == "list":
+                pos = np.flatnonzero(fmask)
+                if orders:
+                    pos = _sort_subset(chunk, orders, pos)
+                vals = np.asarray(arg.evaluate(chunk))[pos] if n else []
+                arr = np.empty(1, object)
+                arr[0] = list(vals.tolist() if n else [])
+                out[name] = arr
+                continue
             if fn == "count" and arg is None:
-                out[name] = np.asarray([n])
+                out[name] = np.asarray([int(fmask.sum())])
                 continue
             vals = np.asarray(arg.evaluate(chunk)) if n else np.asarray([])
+            if n and filt is not None:
+                vals = vals[fmask]
             if fn == "count":
                 out[name] = np.asarray([int(np.sum(~_is_null(vals)))])
                 continue
@@ -207,22 +301,28 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
 
     if isinstance(node, TopK):
         chunk = run(node.child)
-        keys = np.asarray(node.order.evaluate(chunk), np.float64)
-        order = np.lexsort(
-            (chunk.get("__rowid__", np.arange(len(keys))), keys)
-        )
-        if not node.ascending:
-            order = np.lexsort(
-                (chunk.get("__rowid__", np.arange(len(keys))), -keys)
-            )
-        order = order[: node.k]
+        n = len(next(iter(chunk.values()))) if chunk else 0
+        keys = [(node.order, node.ascending)] + list(node.tail or ())
+        order = _order_positions(chunk, keys, n)[: node.k]
         return {c: v[order] for c, v in chunk.items()}
+
+    from vss_tpu.query.ir import Extend
+
+    if isinstance(node, Extend):
+        chunk = dict(run(node.child))
+        for name, e in node.exprs.items():
+            chunk[name] = np.asarray(e.evaluate(chunk))
+        return chunk
 
     if isinstance(node, MinByAgg):
         chunk = run(node.child)
-        keys = np.asarray(node.order.evaluate(chunk), np.float64)
-        order = np.lexsort(
-            (chunk.get("__rowid__", np.arange(len(keys))), keys)
+        n = len(next(iter(chunk.values()))) if chunk else 0
+        if node.filter is not None and n:
+            mask = np.asarray(node.filter.evaluate(chunk), bool)
+            chunk = {c: np.asarray(v)[mask] for c, v in chunk.items()}
+            n = int(mask.sum())
+        order = _order_positions(
+            chunk, [(node.order, not node.descending)], n
         )[: node.k]
         vals = np.asarray(node.value.evaluate(chunk))[order]
         return {node.output: np.asarray([vals.tolist()], dtype=object)}
@@ -233,20 +333,20 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         q = np.asarray(node.query, np.float32)[None, :]
         filter_mask = None
         if node.pushed_filter is not None:
-            # evaluate predicate over the table, lift to a slot mask
-            chunk = t.chunk()
+            # evaluate the predicate over just its referenced columns, then
+            # lift allowed rowids to a slot mask with one vectorized isin
+            # (sort-based, not a per-slot Python hash probe)
+            cols = _expr_columns(node.pushed_filter)
+            chunk = t.chunk(columns=[c for c in cols if c in t.columns])
             ok = np.asarray(node.pushed_filter.evaluate(chunk), bool)
-            allowed = set(chunk["__rowid__"][ok].tolist())
+            allowed = chunk["__rowid__"][ok]
             srow = np.asarray(entry.index.graph.slot_to_rowid)
-            mask = np.fromiter(
-                (int(r) in allowed for r in srow), bool, len(srow)
-            )
-            filter_mask = jnp.asarray(mask)
+            filter_mask = jnp.asarray(np.isin(srow, allowed))
         _, rows = _search_index(
             db, node.index_name, q, node.k, filter_mask=filter_mask
         )
         rows = rows[0]
-        return t.fetch(rows[rows >= 0])
+        return t.fetch(rows[rows >= 0], columns=node.projection)
 
     if isinstance(node, BruteForceTopK):
         t = db.table(node.table)
@@ -258,7 +358,7 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         )
         slots = np.asarray(slots)[0]
         rows = t.rowids[slots[slots >= 0]]
-        return t.fetch(rows)
+        return t.fetch(rows, columns=node.projection)
 
     if isinstance(node, HNSWIndexJoinNode):
         left = run(node.left)
@@ -291,6 +391,14 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             out[f"r_{c}"] = v
         out["row_number"] = np.asarray(ranks, np.int64)
         return out
+
+    from vss_tpu.query.ir import IndexedLateralJoin, LateralJoin
+
+    if isinstance(node, LateralJoin):
+        return _exec_lateral_brute(db, node, run)
+
+    if isinstance(node, IndexedLateralJoin):
+        return _exec_lateral_indexed(db, node, run)
 
     if isinstance(node, KNNJoin):
         # brute-force fallback join (no usable index)
@@ -327,3 +435,141 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         return out
 
     raise NotImplementedError(f"cannot execute {type(node).__name__}")
+
+
+def _broadcast_row(val, dtype, n):
+    """One outer-row value broadcast to n rows (scalar or vector)."""
+    v = np.asarray(val)
+    if v.ndim >= 1:
+        return np.broadcast_to(v, (n,) + v.shape)
+    out = np.empty(n, dtype)
+    out[:] = val
+    return out
+
+
+def _qualified_scope(chunk, table, alias):
+    """chunk keys + `table.col` / `alias.col` qualified duplicates."""
+    scope = dict(chunk)
+    for c, v in chunk.items():
+        if "." in c or c.startswith("__"):
+            continue
+        scope[f"{table}.{c}"] = v
+        if alias != table:
+            scope[f"{alias}.{c}"] = v
+    return scope
+
+
+def _lateral_output(node, left, left_sel, sub_vals):
+    """Assemble the join output chunk: outer columns (sliced by left_sel)
+    then sub-item columns, with qualified duplicates of the outer names."""
+    out: dict[str, np.ndarray] = {}
+    for c, v in left.items():
+        out[c] = np.asarray(v)[left_sel]
+        if "." not in c and not c.startswith("__"):
+            out[f"{node.left_table}.{c}"] = out[c]
+            if node.left_alias != node.left_table:
+                out[f"{node.left_alias}.{c}"] = out[c]
+    for name, _ in node.sub_items:
+        out[name] = sub_vals[name]
+        out[f"{node.right_alias}.{name}"] = sub_vals[name]
+    return out
+
+
+def _exec_lateral_brute(db: Database, node, run) -> dict[str, np.ndarray]:
+    """Unoptimized lateral top-k join: per outer row, order ALL inner rows
+    by the subquery's keys (NULLs last) and keep k — the semantics DuckDB's
+    un-rewritten delim-join plan produces. Correlated outer columns and
+    select aliases resolve left-to-right inside the subquery scope."""
+    left = run(node.left)
+    t = db.table(node.right_table)
+    inner = t.chunk()
+    nL = len(next(iter(left.values()))) if left else 0
+    nR = len(inner["__rowid__"])
+    base_scope = _qualified_scope(inner, node.right_table, node.right_alias)
+
+    left_idx: list[np.ndarray] = []
+    sub_parts: dict[str, list] = {name: [] for name, _ in node.sub_items}
+    for i in range(nL):
+        scope = dict(base_scope)
+        for c, v in left.items():
+            if "." in c:
+                continue
+            col = _broadcast_row(np.asarray(v)[i], np.asarray(v).dtype, nR)
+            if not c.startswith("__"):
+                scope[f"{node.left_table}.{c}"] = col
+                if node.left_alias != node.left_table:
+                    scope[f"{node.left_alias}.{c}"] = col
+            if c not in scope:  # inner scope wins for unqualified names
+                scope[c] = col
+        vals_i = {}
+        for name, e in node.sub_items:
+            v = np.asarray(e.evaluate(scope))
+            scope[name] = v
+            vals_i[name] = v
+        order = _order_positions(scope, node.order_keys, nR)
+        if node.where is not None:
+            ok = np.asarray(node.where.evaluate(scope), bool)
+            order = order[ok[order]]
+        sel = order[: node.k]
+        left_idx.append(np.full(len(sel), i))
+        for name in vals_i:
+            sub_parts[name].append(vals_i[name][sel])
+    left_sel = (
+        np.concatenate(left_idx) if left_idx else np.zeros(0, np.int64)
+    )
+    sub_vals = {
+        name: (
+            np.concatenate(parts)
+            if parts
+            else np.zeros(0)
+        )
+        for name, parts in sub_parts.items()
+    }
+    return _lateral_output(node, left, left_sel, sub_vals)
+
+
+def _exec_lateral_indexed(db: Database, node, run) -> dict[str, np.ndarray]:
+    """Index-accelerated lateral join: one batched multi-query search for
+    all outer rows, one bulk fetch, vectorized sub-item evaluation — the
+    PhysicalHNSWIndexJoin execution shape (`hnsw_optimize_join.cpp:111-167`)
+    without its STANDARD_VECTOR_SIZE/k batching (the whole outer side is
+    one device batch here)."""
+    left = run(node.left)
+    t = db.table(node.table)
+    louter = _qualified_scope(left, node.left_table, node.left_alias)
+    queries = np.asarray(node.outer_vector.evaluate(louter), np.float32)
+    nL = queries.shape[0]
+    if nL == 0:
+        return _lateral_output(
+            node, left, np.zeros(0, np.int64),
+            {name: np.zeros(0) for name, _ in node.sub_items},
+        )
+    _, rows = _search_index(db, node.index_name, np.nan_to_num(queries), node.k)
+    # NULL outer vectors produce no matches on the index path (the brute
+    # plan keeps them with NULL distances; the reference only rewrites
+    # single-order-key plans, where its operator behaves the same way)
+    rows = np.where(np.isnan(queries).any(1)[:, None], -1, rows)
+    valid = rows >= 0
+    counts = valid.sum(1)
+    left_sel = np.repeat(np.arange(nL), counts)
+    flat_rows = rows[valid]
+    fetched = t.fetch(flat_rows)
+    nF = len(fetched["__rowid__"])
+    scope = _qualified_scope(fetched, node.table, node.right_alias)
+    for c, v in left.items():
+        if "." in c:
+            continue
+        col = np.asarray(v)[left_sel]
+        if not c.startswith("__"):
+            scope[f"{node.left_table}.{c}"] = col
+            if node.left_alias != node.left_table:
+                scope[f"{node.left_alias}.{c}"] = col
+        if c not in scope:
+            scope[c] = col
+    sub_vals = {}
+    for name, e in node.sub_items:
+        v = np.asarray(e.evaluate(scope))
+        scope[name] = v
+        sub_vals[name] = v
+    assert nF == len(left_sel), "index fetch dropped rows"
+    return _lateral_output(node, left, left_sel, sub_vals)

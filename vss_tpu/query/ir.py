@@ -23,11 +23,13 @@ from vss_tpu.query.functions import resolve_function
 
 __all__ = [
     "Expr", "ColumnRef", "Const", "Func", "BinOp", "Not",
-    "PlanNode", "Scan", "Filter", "Projection", "TopK", "Limit",
+    "PlanNode", "Scan", "Filter", "Projection", "Extend", "TopK", "Limit",
     "MinByAgg", "KNNJoin", "HNSWIndexScan", "HNSWIndexJoinNode", "BruteForceTopK",
     "ChunkSource",
     "SimpleAggregate",
     "GroupByAggregate",
+    "LateralJoin",
+    "IndexedLateralJoin",
 ]
 
 
@@ -71,6 +73,10 @@ class Const(Expr):
 class Func(Expr):
     name: str
     args: list[Expr]
+    # aggregate-only extensions: list(x ORDER BY k1, k2) carries its order
+    # keys; agg(...) FILTER (WHERE p) carries the filter predicate
+    orders: Optional[list[tuple["Expr", bool]]] = None
+    filter: Optional["Expr"] = None
 
     def evaluate(self, chunk):
         f = resolve_function(self.name)
@@ -165,18 +171,27 @@ class Projection(PlanNode):
 
 @dataclasses.dataclass
 class TopK(PlanNode):
-    """ORDER BY <order> ASC/DESC LIMIT k."""
+    """ORDER BY <order> ASC/DESC [, tail...] LIMIT k."""
 
     child: PlanNode
     order: Expr
     k: int
     ascending: bool = True
+    # secondary order keys; their presence blocks the index rewrite, like
+    # the reference's single-order match (`hnsw_optimize_join.cpp:479`)
+    tail: Optional[list[tuple[Expr, bool]]] = None
 
     def children(self):
         return (self.child,)
 
     def label(self):
-        return f"TOP_N(k={self.k}, {'ASC' if self.ascending else 'DESC'} {self.order})"
+        extra = "".join(
+            f", {'ASC' if asc else 'DESC'} {e}" for e, asc in (self.tail or ())
+        )
+        return (
+            f"TOP_N(k={self.k}, {'ASC' if self.ascending else 'DESC'} "
+            f"{self.order}{extra})"
+        )
 
 
 @dataclasses.dataclass
@@ -193,20 +208,27 @@ class Limit(PlanNode):
 
 @dataclasses.dataclass
 class MinByAgg(PlanNode):
-    """SELECT min_by(value, order, k) — the reference's TopK aggregate
-    (`hnsw_optimize_topk.cpp:54-58`). Produces one row holding a list."""
+    """SELECT min_by(value, order, k) [FILTER (WHERE p)] — the reference's
+    TopK aggregate (`hnsw_optimize_topk.cpp:54-58`). Produces one row
+    holding a list. `descending=True` is max_by. The FILTER predicate is
+    preserved through the index rewrite, applied over the scanned rows —
+    exactly the reference's behavior (`hnsw_optimize_topk.cpp:193`)."""
 
     child: PlanNode
     value: Expr
     order: Expr
     k: int
     output: str = "min_by"
+    filter: Optional[Expr] = None
+    descending: bool = False
 
     def children(self):
         return (self.child,)
 
     def label(self):
-        return f"AGG(min_by({self.value}, {self.order}, {self.k}))"
+        name = "max_by" if self.descending else "min_by"
+        f = f" FILTER({self.filter})" if self.filter is not None else ""
+        return f"AGG({name}({self.value}, {self.order}, {self.k}){f})"
 
 
 @dataclasses.dataclass
@@ -232,6 +254,82 @@ class KNNJoin(PlanNode):
         )
 
 
+@dataclasses.dataclass
+class Extend(PlanNode):
+    """Pass the child chunk through, adding computed columns (used to make
+    SELECT aliases visible to GROUP BY / ORDER BY without dropping the
+    underlying columns)."""
+
+    child: PlanNode
+    exprs: dict[str, Expr]
+
+    def children(self):
+        return (self.child,)
+
+    def label(self):
+        return f"EXTEND({', '.join(self.exprs)})"
+
+
+@dataclasses.dataclass
+class LateralJoin(PlanNode):
+    """FROM <outer>, LATERAL (SELECT <items> FROM <inner> ORDER BY <keys>
+    LIMIT k) — the reference's delim-join shape before optimization
+    (`/root/reference/src/hnsw/hnsw_optimize_join.cpp:352-433`).
+
+    Per outer row: evaluate `sub_items` over all inner rows (outer columns
+    are correlated into scope, aliases become available left-to-right),
+    order by `order_keys` (NULLs last, like DuckDB's default null order),
+    emit the first k. Output columns: outer columns then sub item columns,
+    with `alias.col` qualified duplicates for disambiguation."""
+
+    left: PlanNode  # outer source (Scan)
+    left_table: str
+    left_alias: str
+    right_table: str
+    right_alias: str
+    sub_items: list[tuple[str, Expr]]  # (output name, expr) in select order
+    order_keys: list[tuple[Expr, bool]]  # (expr, ascending)
+    k: int
+    where: Optional[Expr] = None  # subquery WHERE (inner scope)
+
+    def children(self):
+        return (self.left,)
+
+    def label(self):
+        keys = ", ".join(
+            f"{e}{'' if asc else ' DESC'}" for e, asc in self.order_keys
+        )
+        return (
+            f"LATERAL_TOPK_JOIN({self.right_table}, k={self.k}, "
+            f"ORDER BY {keys})"
+        )
+
+
+@dataclasses.dataclass
+class IndexedLateralJoin(PlanNode):
+    """Index-accelerated lateral top-k join (the PhysicalHNSWIndexJoin
+    analog, `hnsw_optimize_join.cpp:30-179`): one batched multi-query index
+    search replaces the per-outer-row sort. Only substituted when the
+    subquery's single order key is the index's distance function
+    (`hnsw_optimize_join.cpp:473-498` — one ASC key required)."""
+
+    left: PlanNode
+    left_table: str
+    left_alias: str
+    table: str  # inner
+    right_alias: str
+    index_name: str
+    outer_vector: Expr  # evaluated against the outer chunk -> [n, d]
+    sub_items: list[tuple[str, Expr]]
+    k: int
+
+    def children(self):
+        return (self.left,)
+
+    def label(self):
+        return f"HNSW_INDEX_JOIN({self.table}, {self.index_name}, k={self.k})"
+
+
 # ------------------------------------------------------- physical-ish nodes
 @dataclasses.dataclass
 class HNSWIndexScan(PlanNode):
@@ -250,9 +348,14 @@ class HNSWIndexScan(PlanNode):
     query: np.ndarray
     k: int
     pushed_filter: Optional[Expr] = None
+    # projection pushdown: fetch only these base columns (None = all),
+    # mirroring hnsw_index_scan.cpp:70-89 / function flag :170-185
+    projection: Optional[list[str]] = None
 
     def label(self):
         extra = f", filtered({self.pushed_filter})" if self.pushed_filter else ""
+        if self.projection is not None:
+            extra += f", cols=[{', '.join(self.projection)}]"
         return (
             f"HNSW_INDEX_SCAN({self.table}, {self.index_name}, k={self.k}{extra})"
         )
@@ -332,11 +435,17 @@ class BruteForceTopK(PlanNode):
     query: np.ndarray
     k: int
     metric_function: str
+    projection: Optional[list[str]] = None
 
     def label(self):
+        extra = (
+            f", cols=[{', '.join(self.projection)}]"
+            if self.projection is not None
+            else ""
+        )
         return (
             f"BRUTE_FORCE_TOPK({self.table}.{self.column}, k={self.k}, "
-            f"{self.metric_function})"
+            f"{self.metric_function}{extra})"
         )
 
 

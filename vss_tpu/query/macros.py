@@ -4,6 +4,13 @@ Functional equivalents of the reference's SQL table macros
 (`/root/reference/src/hnsw/hnsw_index_macros.cpp:9-74`): index-independent
 exact k-NN matching between two tables, but executed on the MXU distance
 tiles instead of a min_by scalar aggregate.
+
+Score semantics follow the reference exactly: l2sq scores with
+`array_distance` (euclidean, ascending / min_by); cosine scores with
+`array_cosine_similarity` and ip with `array_inner_product` (descending /
+max_by, `hnsw_index_macros.cpp:24-25,55-56`). The selected row set is
+identical either way — top-k by cosine distance ascending IS top-k by
+similarity descending — only the reported score and its ordering flip.
 """
 from __future__ import annotations
 
@@ -23,6 +30,16 @@ def _metric_of(metric: str) -> Metric:
         return Metric.parse(metric)
     except ValueError as e:
         raise BinderError(str(e)) from e
+
+
+def _user_score(d: np.ndarray, metric: Metric) -> np.ndarray:
+    """Map index-internal ascending distances to the macro's user-facing
+    score column: euclidean for l2sq (min_by), similarity for cosine,
+    inner product for ip (both max_by)."""
+    if metric == Metric.L2SQ:
+        return np.sqrt(np.maximum(d, 0.0))
+    # internal cosine distance = 1 - cos; internal ip = 1 - dot
+    return 1.0 - d
 
 
 def vss_join(
@@ -61,7 +78,7 @@ def vss_join(
     inner = rt.chunk(flat_slots)
     for c, v in inner.items():
         out[f"right_{c}"] = v
-    out["score"] = d[valid].astype(np.float32)
+    out["score"] = _user_score(d[valid], m).astype(np.float32)
     return out
 
 
@@ -84,5 +101,5 @@ def vss_match(
     d, slots = np.asarray(d)[0], np.asarray(slots)[0]
     keep = slots >= 0
     out = rt.chunk(slots[keep])
-    out["score"] = d[keep].astype(np.float32)
+    out["score"] = _user_score(d[keep], m).astype(np.float32)
     return out

@@ -84,19 +84,20 @@ def _rewrite_plan_exprs(node: PlanNode) -> PlanNode:
             {k: rewrite_expr(v) for k, v in node.exprs.items()},
         )
     if isinstance(node, TopK):
-        return TopK(
-            _rewrite_plan_exprs(node.child),
-            rewrite_expr(node.order),
-            node.k,
-            node.ascending,
+        return dataclasses.replace(
+            node,
+            child=_rewrite_plan_exprs(node.child),
+            order=rewrite_expr(node.order),
+            tail=None if node.tail is None else [
+                (rewrite_expr(e), asc) for e, asc in node.tail
+            ],
         )
     if isinstance(node, MinByAgg):
-        return MinByAgg(
-            _rewrite_plan_exprs(node.child),
-            rewrite_expr(node.value),
-            rewrite_expr(node.order),
-            node.k,
-            node.output,
+        return dataclasses.replace(
+            node,
+            child=_rewrite_plan_exprs(node.child),
+            value=rewrite_expr(node.value),
+            order=rewrite_expr(node.order),
         )
     if isinstance(node, KNNJoin):
         return KNNJoin(
@@ -106,6 +107,21 @@ def _rewrite_plan_exprs(node: PlanNode) -> PlanNode:
             node.right_column,
             node.k,
             node.metric_function,
+        )
+    from vss_tpu.query.ir import Extend, LateralJoin
+
+    if isinstance(node, LateralJoin):
+        return dataclasses.replace(
+            node,
+            left=_rewrite_plan_exprs(node.left),
+            sub_items=[(n, rewrite_expr(e)) for n, e in node.sub_items],
+            order_keys=[(rewrite_expr(e), asc) for e, asc in node.order_keys],
+            where=None if node.where is None else rewrite_expr(node.where),
+        )
+    if isinstance(node, Extend):
+        return Extend(
+            _rewrite_plan_exprs(node.child),
+            {k: rewrite_expr(v) for k, v in node.exprs.items()},
         )
     return node
 
@@ -164,6 +180,10 @@ def _peel_filters(node: PlanNode):
 def _rewrite_topk(db: Database, node: TopK) -> Optional[PlanNode]:
     if not node.ascending or not (0 < node.k < MAX_K):
         return None
+    if node.tail:
+        # secondary order keys block the rewrite, like the reference's
+        # single-order window match (hnsw_optimize_join.cpp:479)
+        return None
     m = match_distance_order(node.order)
     if m is None:
         return None
@@ -211,6 +231,9 @@ def _rewrite_topk(db: Database, node: TopK) -> Optional[PlanNode]:
 def _rewrite_minby(db: Database, node: MinByAgg) -> Optional[PlanNode]:
     if not (0 < node.k < MAX_K):
         return None
+    if node.descending:
+        # max_by orders away from the index's ascending traversal
+        return None
     m = match_distance_order(node.order)
     if m is None:
         return None
@@ -230,7 +253,98 @@ def _rewrite_minby(db: Database, node: MinByAgg) -> Optional[PlanNode]:
     child: PlanNode = HNSWIndexScan(scan.table, entry.name, qv, node.k)
     for pred in reversed(filters):
         child = Filter(child, pred)
-    return MinByAgg(child, node.value, node.order, node.k, node.output)
+    # FILTER clause preserved through the rewrite, applied over the k
+    # scanned rows (hnsw_optimize_topk.cpp:193 keeps it on the new list())
+    return MinByAgg(
+        child, node.value, node.order, node.k, node.output,
+        filter=node.filter,
+    )
+
+
+def _match_lateral_distance(db: Database, node) -> Optional[tuple]:
+    """Match a LateralJoin whose single ASC order key is
+    `distance_fn(outer_vec, inner_indexed_col)` — the shape the reference's
+    join optimizer accepts (`hnsw_optimize_join.cpp:457-557`: one ASC
+    window order on the distance projection, k < 2048, correlated outer
+    column vs indexed inner column).
+
+    Returns (fn_name, outer_vec_expr, inner_col) or None."""
+    if node.where is not None:
+        return None
+    if len(node.order_keys) != 1:
+        return None
+    key, asc = node.order_keys[0]
+    if not asc:
+        return None
+    # the key may reference a subquery alias of the distance expression
+    # (the reference's window references the projection's distance column)
+    aliases = dict(node.sub_items)
+    if isinstance(key, ColumnRef) and key.name in aliases:
+        key = aliases[key.name]
+    if not isinstance(key, Func) or len(key.args) != 2:
+        return None
+    try:
+        fdef = resolve_function(key.name)
+    except ValueError:
+        return None
+    if fdef.index_metric is None:
+        return None
+    inner_t = db.table(node.right_table)
+    outer_t = db.table(node.left_table)
+
+    def classify(e):
+        """'inner'/'outer' column reference, or None."""
+        if not isinstance(e, ColumnRef):
+            return None
+        name = e.name
+        if "." in name:
+            qual, col = name.split(".", 1)
+            if qual in (node.right_table, node.right_alias):
+                return ("inner", col) if col in inner_t.columns else None
+            if qual in (node.left_table, node.left_alias):
+                return ("outer", col) if col in outer_t.columns else None
+            return None
+        # unqualified: inner scope first, then outer
+        if name in inner_t.columns:
+            return ("inner", name)
+        if name in outer_t.columns:
+            return ("outer", name)
+        return None
+
+    a, b = classify(key.args[0]), classify(key.args[1])
+    if a is None or b is None:
+        return None
+    sides = {a[0]: a[1], b[0]: b[1]}
+    if set(sides) != {"inner", "outer"}:
+        return None
+    inner_col, outer_col = sides["inner"], sides["outer"]
+    if not inner_t.is_vector_column(inner_col):
+        return None
+    if not outer_t.is_vector_column(outer_col):
+        return None
+    if inner_t.vector_dims(inner_col) != outer_t.vector_dims(outer_col):
+        return None
+    return key.name, ColumnRef(outer_col), inner_col
+
+
+def _rewrite_lateral(db: Database, node) -> Optional[PlanNode]:
+    from vss_tpu.query.ir import IndexedLateralJoin
+
+    if not (0 < node.k < MAX_K):
+        return None
+    m = _match_lateral_distance(db, node)
+    if m is None:
+        return None
+    fn_name, outer_vec, inner_col = m
+    dims = db.table(node.right_table).vector_dims(inner_col)
+    entry = _find_index(db, node.right_table, inner_col, fn_name, dims)
+    if entry is None:
+        return None
+    return IndexedLateralJoin(
+        optimize(db, node.left), node.left_table, node.left_alias,
+        node.right_table, node.right_alias, entry.name, outer_vec,
+        node.sub_items, node.k,
+    )
 
 
 def _rewrite_knn_join(db: Database, node: KNNJoin) -> Optional[PlanNode]:
@@ -254,9 +368,70 @@ def _rewrite_knn_join(db: Database, node: KNNJoin) -> Optional[PlanNode]:
 
 
 def optimize(db: Database, node: PlanNode) -> PlanNode:
-    """Apply expression rewrites then plan rewrites, top-down."""
+    """Apply expression rewrites, plan rewrites (top-down), then push
+    projections into the physical scans."""
     node = _rewrite_plan_exprs(node)
-    return _optimize_node(db, node)
+    node = _optimize_node(db, node)
+    return _pushdown_projections(db, node)
+
+
+def _expr_cols(e: Expr) -> set:
+    out = set()
+
+    def walk(x):
+        if isinstance(x, ColumnRef):
+            out.add(x.name)
+        for c in x.children():
+            walk(c)
+
+    walk(e)
+    return out
+
+
+def _pushdown_projections(db: Database, node: PlanNode) -> PlanNode:
+    """Projection pushdown into index / brute-force scans: when a
+    Projection sits above a Filter/TopK/Limit chain ending in a scan
+    operator, the scan fetches only the referenced base columns — the
+    analog of the reference's `projection_pushdown=true` scan flag
+    (`hnsw_index_scan.cpp:70-89, 170-185`)."""
+    from vss_tpu.query.ir import Limit
+
+    if isinstance(node, Projection):
+        needed = set()
+        for e in node.exprs.values():
+            needed |= _expr_cols(e)
+        chain = []
+        cur = node.child
+        while isinstance(cur, (Filter, TopK, Limit)):
+            if isinstance(cur, Filter):
+                needed |= _expr_cols(cur.predicate)
+            elif isinstance(cur, TopK):
+                needed |= _expr_cols(cur.order)
+                for e, _asc in cur.tail or ():
+                    needed |= _expr_cols(e)
+            chain.append(cur)
+            cur = cur.child
+        if (
+            isinstance(cur, (HNSWIndexScan, BruteForceTopK))
+            and cur.projection is None
+        ):
+            t = db.table(cur.table)
+            proj = [c for c in t.column_names() if c in needed]
+            leaf: PlanNode = dataclasses.replace(cur, projection=proj)
+            for op in reversed(chain):
+                leaf = dataclasses.replace(op, child=leaf)
+            return Projection(leaf, node.exprs)
+        return Projection(_pushdown_projections(db, node.child), node.exprs)
+    # generic recursion over single-child wrappers
+    for attr in ("child", "left"):
+        if hasattr(node, attr):
+            try:
+                return dataclasses.replace(
+                    node, **{attr: _pushdown_projections(db, getattr(node, attr))}
+                )
+            except TypeError:
+                return node
+    return node
 
 
 def _optimize_node(db: Database, node: PlanNode) -> PlanNode:
@@ -264,14 +439,12 @@ def _optimize_node(db: Database, node: PlanNode) -> PlanNode:
         repl = _rewrite_topk(db, node)
         if repl is not None:
             return repl
-        return TopK(_optimize_node(db, node.child), node.order, node.k, node.ascending)
+        return dataclasses.replace(node, child=_optimize_node(db, node.child))
     if isinstance(node, MinByAgg):
         repl = _rewrite_minby(db, node)
         if repl is not None:
             return repl
-        return MinByAgg(
-            _optimize_node(db, node.child), node.value, node.order, node.k, node.output
-        )
+        return dataclasses.replace(node, child=_optimize_node(db, node.child))
     if isinstance(node, KNNJoin):
         repl = _rewrite_knn_join(db, node)
         if repl is not None:
@@ -284,6 +457,16 @@ def _optimize_node(db: Database, node: PlanNode) -> PlanNode:
             node.k,
             node.metric_function,
         )
+    from vss_tpu.query.ir import Extend as _Extend
+    from vss_tpu.query.ir import LateralJoin as _LateralJoin
+
+    if isinstance(node, _LateralJoin):
+        repl = _rewrite_lateral(db, node)
+        if repl is not None:
+            return repl
+        return dataclasses.replace(node, left=_optimize_node(db, node.left))
+    if isinstance(node, _Extend):
+        return _Extend(_optimize_node(db, node.child), node.exprs)
     if isinstance(node, Filter):
         return Filter(_optimize_node(db, node.child), node.predicate)
     if isinstance(node, Projection):

@@ -196,17 +196,48 @@ class _Parser:
             name = self.next()[1]
             if self.accept_op("("):
                 args = []
+                orders = None
                 if self.accept_op("*"):  # count(*)
                     self.expect_op(")")
-                    return Func(name.lower(), [Const("*")])
-                if not self.accept_op(")"):
-                    args.append(self.expr())
-                    while self.accept_op(","):
+                    f = Func(name.lower(), [Const("*")])
+                else:
+                    if not self.accept_op(")"):
                         args.append(self.expr())
+                        while self.accept_op(","):
+                            args.append(self.expr())
+                        # aggregate-internal ORDER BY: list(x ORDER BY k1, k2)
+                        if self.accept_kw("ORDER"):
+                            self.expect_kw("BY")
+                            orders = self.order_key_list()
+                        self.expect_op(")")
+                    f = Func(name.lower(), args, orders=orders)
+                # agg(...) FILTER (WHERE p)
+                if self.accept_kw("FILTER"):
+                    self.expect_op("(")
+                    self.expect_kw("WHERE")
+                    f.filter = self.expr()
                     self.expect_op(")")
-                return Func(name.lower(), args)
+                return f
+            # qualified column reference: table.column
+            if self.accept_op("."):
+                col = self.ident()
+                return ColumnRef(f"{name}.{col}")
             return ColumnRef(name)
         raise BinderError(f"unexpected token {v!r} in expression")
+
+    def order_key_list(self) -> list:
+        """[(expr, ascending)], comma-separated with optional ASC/DESC."""
+        keys = []
+        while True:
+            e = self.expr()
+            asc = True
+            if self.accept_kw("DESC"):
+                asc = False
+            else:
+                self.accept_kw("ASC")
+            keys.append((e, asc))
+            if not self.accept_op(","):
+                return keys
 
     def _array_literal(self) -> np.ndarray:
         self.expect_op("[")
@@ -239,9 +270,19 @@ class _Parser:
 
 
 # ----------------------------------------------------------------- SELECT
-def _parse_select(p: _Parser, db: Database) -> PlanNode:
-    p.expect_kw("SELECT")
-    items: list[tuple[Optional[str], Optional[Expr]]] = []  # (alias, expr|None=*)
+# keywords that terminate a FROM item (so a bare identifier after a table
+# name can be read as an alias)
+_FROM_STOP = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "LATERAL", "ON", "USING", "JOIN",
+    "AS", "ASC", "DESC", "FILTER", "AND", "OR", "NOT", "SELECT", "FROM",
+    "BY", "SET", "VALUES", "INTO",
+}
+
+
+def _parse_select_items(p: _Parser):
+    """Comma list of `*` / expr [AS] alias. Returns [(alias|None, expr|None)]
+    where expr None means `*`."""
+    items: list[tuple[Optional[str], Optional[Expr]]] = []
     while True:
         if p.accept_op("*"):
             items.append((None, None))
@@ -250,11 +291,94 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             alias = None
             if p.accept_kw("AS"):
                 alias = p.ident()
+            else:
+                kind, v = p.peek()
+                if kind == "id" and v.upper() not in _FROM_STOP:
+                    alias = p.ident()
             items.append((alias, e))
         if not p.accept_op(","):
-            break
+            return items
+
+
+def _maybe_alias(p: _Parser) -> Optional[str]:
+    if p.accept_kw("AS"):
+        return p.ident()
+    kind, v = p.peek()
+    if kind == "id" and v.upper() not in _FROM_STOP:
+        return p.ident()
+    return None
+
+
+def _parse_lateral_subquery(p: _Parser) -> dict:
+    """`( SELECT <items> FROM <table> [alias] [WHERE e] ORDER BY keys
+    LIMIT k )` — the correlated subquery shape of the reference's lateral
+    join tests (`test/sql/hnsw/hnsw_lateral_join.test:22-47`)."""
+    p.expect_op("(")
+    p.expect_kw("SELECT")
+    items = _parse_select_items(p)
+    p.expect_kw("FROM")
+    table = p.ident()
+    alias = _maybe_alias(p) or table
+    where = None
+    if p.accept_kw("WHERE"):
+        where = p.expr()
+    order_keys = []
+    if p.accept_kw("ORDER"):
+        p.expect_kw("BY")
+        order_keys = p.order_key_list()
+    if not p.accept_kw("LIMIT"):
+        raise BinderError("LATERAL subquery requires ORDER BY ... LIMIT k")
+    kind, v = p.next()
+    if kind != "num":
+        raise BinderError("LIMIT must be an integer")
+    p.expect_op(")")
+    return {
+        "items": items, "table": table, "alias": alias, "where": where,
+        "order_keys": order_keys, "k": int(v),
+    }
+
+
+def _lower_lateral(db, outer_table, outer_alias, sub) -> "PlanNode":
+    from vss_tpu.query.ir import LateralJoin
+
+    inner = db.table(sub["table"])
+    sub_items: list[tuple[str, Expr]] = []
+    # seed with outer column names so sub-item output names never collide
+    # with outer columns in the join's output chunk
+    seen: dict[str, int] = {c: 1 for c in db.table(outer_table).column_names()}
+
+    def out_name(alias, e):
+        if alias:
+            base = alias
+        elif isinstance(e, ColumnRef):
+            base = e.name.split(".")[-1]
+        else:
+            base = str(e)
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        return base if n == 0 else f"{base}_{n}"
+
+    for alias, e in sub["items"]:
+        if e is None:  # * expands to the inner table's columns
+            for c in inner.column_names():
+                sub_items.append((out_name(None, ColumnRef(c)), ColumnRef(c)))
+        else:
+            sub_items.append((out_name(alias, e), e))
+    if not sub["order_keys"]:
+        raise BinderError("LATERAL subquery requires ORDER BY ... LIMIT k")
+    return LateralJoin(
+        Scan(outer_table), outer_table, outer_alias, sub["table"],
+        sub["alias"], sub_items, sub["order_keys"], sub["k"], sub["where"],
+    )
+
+
+def _parse_select(p: _Parser, db: Database) -> PlanNode:
+    p.expect_kw("SELECT")
+    items = _parse_select_items(p)
     p.expect_kw("FROM")
     src = p.ident()
+    lateral = None
+    src_alias = src
     if p.accept_op("("):  # table function
         args = []
         if not p.accept_op(")"):
@@ -269,7 +393,14 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
                 p.expect_op(",")
         node = _table_function(db, src.lower(), args)
     else:
-        node = Scan(src)
+        src_alias = _maybe_alias(p) or src
+        if p.accept_op(","):
+            p.expect_kw("LATERAL")
+            lateral = _parse_lateral_subquery(p)
+            _maybe_alias(p)  # optional alias on the lateral item
+            node = _lower_lateral(db, src, src_alias, lateral)
+        else:
+            node = Scan(src)
     if p.accept_kw("WHERE"):
         node = Filter(node, p.expr())
     group_keys: list[str] = []
@@ -280,13 +411,12 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             group_keys.append(p.ident())
     order = None
     ascending = True
+    order_tail = None
     if p.accept_kw("ORDER"):
         p.expect_kw("BY")
-        order = p.expr()
-        if p.accept_kw("DESC"):
-            ascending = False
-        else:
-            p.accept_kw("ASC")
+        keys = p.order_key_list()
+        order, ascending = keys[0]
+        order_tail = keys[1:] or None
     limit = None
     if p.accept_kw("LIMIT"):
         kind, v = p.next()
@@ -294,21 +424,24 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             raise BinderError("LIMIT must be an integer")
         limit = int(v)
 
-    # min_by aggregate form
+    # min_by / max_by aggregate form
     if (
         len(items) == 1
         and items[0][1] is not None
         and isinstance(items[0][1], Func)
-        and items[0][1].name == "min_by"
+        and items[0][1].name in ("min_by", "max_by")
     ):
         f = items[0][1]
         if len(f.args) != 3 or not isinstance(f.args[2], Const):
-            raise BinderError("min_by(value, order, k) requires constant k")
-        out = items[0][0] or "min_by"
-        return MinByAgg(node, f.args[0], f.args[1], int(f.args[2].value), out)
+            raise BinderError(f"{f.name}(value, order, k) requires constant k")
+        out = items[0][0] or f.name
+        return MinByAgg(
+            node, f.args[0], f.args[1], int(f.args[2].value), out,
+            filter=f.filter, descending=(f.name == "max_by"),
+        )
 
-    # aggregates: count(*)/count/sum/min/max/avg, optionally GROUP BY
-    _AGGS = ("count", "sum", "min", "max", "avg")
+    # aggregates: count(*)/count/sum/min/max/avg/list, optionally GROUP BY
+    _AGGS = ("count", "sum", "min", "max", "avg", "list")
 
     def _is_agg(e):
         return e is not None and isinstance(e, Func) and e.name in _AGGS
@@ -319,23 +452,31 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             arg = e.args[0] if e.args else None
             if isinstance(arg, Const) and arg.value == "*":
                 arg = None
-            out[alias or f"{e.name}"] = (e.name, arg)
+            out[alias or f"{e.name}"] = (e.name, arg, e.orders, e.filter)
         return out
 
     if group_keys:
-        from vss_tpu.query.ir import GroupByAggregate
+        from vss_tpu.query.ir import Extend, GroupByAggregate
 
         aggs = [(a, e) for a, e in items if _is_agg(e)]
         non_aggs = [
-            a or (e.name if isinstance(e, ColumnRef) else str(e))
-            for a, e in items
-            if e is not None and not _is_agg(e)
+            (a, e) for a, e in items if e is not None and not _is_agg(e)
         ]
-        bad = [c for c in non_aggs if c not in group_keys]
+        names = [
+            a or (e.name.split(".")[-1] if isinstance(e, ColumnRef) else str(e))
+            for a, e in non_aggs
+        ]
+        bad = [c for c in names if c not in group_keys]
         if bad:
             raise BinderError(
                 f"column '{bad[0]}' must appear in GROUP BY or an aggregate"
             )
+        # make select aliases visible as group-key columns
+        ext = {
+            n: e for n, (a, e) in zip(names, non_aggs)
+        }
+        if ext:
+            node = Extend(node, ext)
         return GroupByAggregate(node, group_keys, _agg_items(aggs))
 
     if items and all(_is_agg(e) for _, e in items):
@@ -344,21 +485,38 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
         return SimpleAggregate(node, _agg_items(items))
 
     if order is not None and limit is not None:
-        node = TopK(node, order, limit, ascending)
+        node = TopK(node, order, limit, ascending, tail=order_tail)
     elif order is not None:
-        node = TopK(node, order, 1 << 30, ascending)  # full sort
+        node = TopK(node, order, 1 << 30, ascending, tail=order_tail)
     elif limit is not None:
         node = Limit(node, limit)
 
     if not (len(items) == 1 and items[0][1] is None):
         exprs: dict[str, Expr] = {}
-        table_cols = db.table(src).column_names() if src in db.tables else []
+        if src in db.tables:
+            table_cols = db.table(src).column_names()
+        else:
+            table_cols = []
+        if lateral is not None:
+            from vss_tpu.query.ir import LateralJoin as _LJ
+
+            j = node
+            while not isinstance(j, (_LJ,)) and j.children():
+                j = j.children()[0]
+            star_cols = (
+                [c for c in db.table(src).column_names()]
+                + [n for n, _ in j.sub_items]
+            ) if isinstance(j, _LJ) else table_cols
+        else:
+            star_cols = table_cols
         for alias, e in items:
             if e is None:
-                for c in table_cols:
+                for c in star_cols:
                     exprs[c] = ColumnRef(c)
                 continue
-            name = alias or (str(e) if not isinstance(e, ColumnRef) else e.name)
+            name = alias or (
+                e.name.split(".")[-1] if isinstance(e, ColumnRef) else str(e)
+            )
             exprs[name] = e
         node = Projection(node, exprs)
     return node

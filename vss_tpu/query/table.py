@@ -64,6 +64,10 @@ class Table:
         self.next_rowid = n
         self._device_cache: dict[str, Any] = {}
         self._version = 0
+        # guards DML commits; readers work on immutable-array snapshots
+        # (the analog of the reference's shared-lock reads,
+        # hnsw_index.cpp:331-333 — queries never serialize behind DML)
+        self._mutex = threading.Lock()
 
     # ------------------------------------------------------------ basics
     @property
@@ -89,27 +93,36 @@ class Table:
         """Vector column + validity as device arrays (cached per version).
         NULL vectors (NaN rows) are excluded from validity, mirroring the
         reference's IS NOT NULL handling."""
-        key = name
-        if key not in self._device_cache:
+        cached = self._device_cache.get(name)
+        if cached is None:
             col = self.columns[name]
             valid = self.row_valid & ~np.isnan(col).any(axis=1)
-            self._device_cache[key] = (
-                jnp.asarray(np.nan_to_num(col)),
-                jnp.asarray(valid),
-            )
-        return self._device_cache[key]
+            cached = (jnp.asarray(np.nan_to_num(col)), jnp.asarray(valid))
+            self._device_cache[name] = cached
+        return cached
 
     def vector_null_mask(self, name: str) -> np.ndarray:
         """True where the vector is NULL (stored as an all/any-NaN row)."""
         return np.isnan(self.columns[name]).any(axis=1)
 
     # ------------------------------------------------------------ access
-    def chunk(self, positions: Optional[np.ndarray] = None) -> dict[str, np.ndarray]:
-        """Materialize rows as a column chunk (adds __rowid__)."""
+    def chunk(
+        self,
+        positions: Optional[np.ndarray] = None,
+        columns: Optional[Sequence[str]] = None,
+    ) -> dict[str, np.ndarray]:
+        """Materialize rows as a column chunk (adds __rowid__).
+
+        `columns` restricts which columns materialize — the projection
+        pushdown surface (the reference's scan supports it,
+        `hnsw_index_scan.cpp:70-89`); None materializes everything."""
+        with self._mutex:
+            cols, rowids, valid = self.columns, self.rowids, self.row_valid
         if positions is None:
-            positions = np.flatnonzero(self.row_valid)
-        out = {c: v[positions] for c, v in self.columns.items()}
-        out["__rowid__"] = self.rowids[positions]
+            positions = np.flatnonzero(valid)
+        names = cols if columns is None else columns
+        out = {c: cols[c][positions] for c in names}
+        out["__rowid__"] = rowids[positions]
         return out
 
     def positions_of_rowids(self, rowids: np.ndarray) -> np.ndarray:
@@ -124,20 +137,24 @@ class Table:
         if n == 0:
             return np.full(len(rowids), -1, np.int64)
         key = "__rowid_order__"
-        if key not in self._device_cache:
+        cached = self._device_cache.get(key)
+        if cached is None:
             order = np.argsort(self.rowids, kind="stable")
-            self._device_cache[key] = (order, self.rowids[order])
-        order, sorted_ids = self._device_cache[key]
+            cached = (order, self.rowids[order])
+            self._device_cache[key] = cached
+        order, sorted_ids = cached
         j = np.searchsorted(sorted_ids, rowids)
         j = np.clip(j, 0, n - 1)
         pos = order[j]
         ok = (sorted_ids[j] == rowids) & self.row_valid[pos]
         return np.where(ok, pos, -1)
 
-    def fetch(self, rowids: np.ndarray) -> dict[str, np.ndarray]:
+    def fetch(
+        self, rowids: np.ndarray, columns: Optional[Sequence[str]] = None
+    ) -> dict[str, np.ndarray]:
         """DataTable::Fetch analog: rows by rowid, dropping misses/deleted."""
         pos = self.positions_of_rowids(rowids)
-        return self.chunk(pos[pos >= 0])
+        return self.chunk(pos[pos >= 0], columns=columns)
 
     # ------------------------------------------------------------ DML
     def append(self, data: dict[str, np.ndarray]) -> np.ndarray:
@@ -186,21 +203,33 @@ class Table:
                 raise BinderError("column length mismatch on INSERT")
             staged[cname] = arr
         n = n or 0
-        for cname, arr in staged.items():
-            self.columns[cname] = np.concatenate([self.columns[cname], arr])
-        new_ids = np.arange(self.next_rowid, self.next_rowid + n, dtype=np.int64)
-        self.next_rowid += n
-        self.rowids = np.concatenate([self.rowids, new_ids])
-        self.row_valid = np.concatenate([self.row_valid, np.ones(n, bool)])
-        self._bump()
+        # commit: build every new array first, publish them under the
+        # mutex in one short critical section — concurrent snapshot
+        # readers see either the old state or the new one, never a torn mix
+        new_cols = {
+            c: np.concatenate([self.columns[c], staged[c]]) for c in staged
+        }
+        with self._mutex:
+            new_ids = np.arange(
+                self.next_rowid, self.next_rowid + n, dtype=np.int64
+            )
+            self.next_rowid += n
+            self.columns = new_cols
+            self.rowids = np.concatenate([self.rowids, new_ids])
+            self.row_valid = np.concatenate([self.row_valid, np.ones(n, bool)])
+            self._bump()
         return new_ids
 
     def delete_rowids(self, rowids: Sequence[int]) -> np.ndarray:
         pos = self.positions_of_rowids(np.asarray(list(rowids), np.int64))
         pos = pos[pos >= 0]
         deleted = self.rowids[pos]
-        self.row_valid[pos] = False
-        self._bump()
+        # copy-on-write so in-flight snapshot readers keep a stable view
+        new_valid = self.row_valid.copy()
+        new_valid[pos] = False
+        with self._mutex:
+            self.row_valid = new_valid
+            self._bump()
         return deleted
 
 
@@ -244,12 +273,32 @@ def _decode_table_columns(data) -> dict[str, np.ndarray]:
     return cols
 
 
-@dataclasses.dataclass
 class IndexEntry:
-    name: str
-    table: str
-    column: str
-    index: HNSWIndex
+    """Catalog entry for one index. On restart the underlying index may be
+    a deferred loader: the reference defers deserialization to the first
+    index bind (`hnsw_index.cpp:221-239`), and `Database.open` mirrors that
+    — touching `.index` triggers the load; `.loaded` inspects without
+    loading."""
+
+    def __init__(self, name, table, column, index=None, loader=None,
+                 meta=None):
+        self.name = name
+        self.table = table
+        self.column = column
+        self._index = index
+        self._loader = loader
+        self.meta = dict(meta or {})
+
+    @property
+    def loaded(self) -> bool:
+        return self._index is not None
+
+    @property
+    def index(self):
+        if self._index is None:
+            self._index = self._loader()
+            self._index.dirty = False
+        return self._index
 
 
 class Database:
@@ -473,19 +522,22 @@ class Database:
 
     # ------------------------------------------------------------ queries
     def execute(self, plan):
+        """Run a query plan. Queries take NO catalog lock: table columns
+        and index graphs are immutable snapshots (DML publishes fresh
+        arrays under per-table mutexes), so reads never serialize behind
+        writers — the analog of the reference's shared-lock searches
+        (`hnsw_index.cpp:331-333`), minus the lock."""
         from vss_tpu.query.exec import run_plan
         from vss_tpu.query.rewrite import optimize
 
-        with self._lock:
-            return run_plan(self, optimize(self, plan))
+        return run_plan(self, optimize(self, plan))
 
     def execute_unoptimized(self, plan):
         """Run without optimizer rewrites (PRAGMA disable_optimizer analog,
         used by parity tests)."""
         from vss_tpu.query.exec import run_plan
 
-        with self._lock:
-            return run_plan(self, plan)
+        return run_plan(self, plan)
 
     def explain(self, plan) -> str:
         from vss_tpu.query.ir import format_plan
@@ -533,13 +585,15 @@ class Database:
 
         for name, e in self.indexes.items():
             meta = {"table": e.table, "column": e.column}
-            if isinstance(e.index, ShardedHNSWIndex):
+            target = os.path.join(path, f"index_{name}.vss")
+            if not e.loaded and os.path.exists(target):
+                # deferred index, stream already on disk: nothing to write
+                pass
+            elif isinstance(e.index, ShardedHNSWIndex):
                 e.index.save(os.path.join(path, f"index_{name}.sharded"))
                 meta["sharded"] = True
-            elif e.index.dirty or not os.path.exists(
-                os.path.join(path, f"index_{name}.vss")
-            ):
-                save_index(e.index, os.path.join(path, f"index_{name}.vss"))
+            elif not os.path.exists(target) or e.index.dirty:
+                save_index(e.index, target)
             catalog["indexes"][name] = meta
         with open(os.path.join(path, "catalog.json"), "w") as f:
             json.dump(catalog, f)
@@ -566,6 +620,11 @@ class Database:
             for name, e in self.indexes.items():
                 key = f"index:{name}"
                 meta = {"table": e.table, "column": e.column}
+                if not e.loaded and key in bs:
+                    # deferred index with its stream already present
+                    live.add(key)
+                    catalog["indexes"][name] = meta
+                    continue
                 if isinstance(e.index, ShardedHNSWIndex):
                     meta["sharded"] = e.index.n_shards
                     import dataclasses as _dc
@@ -579,7 +638,7 @@ class Database:
                             bs.put(skey, buf.getvalue())
                         live.add(skey)
                     e.index.dirty = False
-                elif e.index.dirty or key not in bs:
+                elif key not in bs or e.index.dirty:
                     buf = io.BytesIO()
                     serialize_index(e.index, buf)
                     bs.put(key, buf.getvalue())
@@ -634,12 +693,21 @@ class Database:
                     sidx._insert_seed = max(
                         (l._insert_seed for l in locals_), default=0
                     )
-                    idx = sidx
+                    db.indexes[name] = IndexEntry(
+                        name=name, table=meta["table"],
+                        column=meta["column"], index=sidx, meta=meta,
+                    )
                 else:
-                    idx = deserialize_index(io.BytesIO(bs.get(f"index:{name}")))
-                db.indexes[name] = IndexEntry(
-                    name=name, table=meta["table"], column=meta["column"], index=idx
-                )
+                    # deferred load: reopen the store and pull the stream
+                    # on first index bind (hnsw_index.cpp:221-239 analog)
+                    def _loader(p=path, key=f"index:{name}"):
+                        with BlockStore(p) as bs2:
+                            return deserialize_index(io.BytesIO(bs2.get(key)))
+
+                    db.indexes[name] = IndexEntry(
+                        name=name, table=meta["table"],
+                        column=meta["column"], loader=_loader, meta=meta,
+                    )
         return db
 
     @classmethod
@@ -667,9 +735,16 @@ class Database:
                 idx = ShardedHNSWIndex.load(
                     os.path.join(path, f"index_{name}.sharded")
                 )
+                db.indexes[name] = IndexEntry(
+                    name=name, table=meta["table"], column=meta["column"],
+                    index=idx, meta=meta,
+                )
             else:
-                idx = load_index(os.path.join(path, f"index_{name}.vss"))
-            db.indexes[name] = IndexEntry(
-                name=name, table=meta["table"], column=meta["column"], index=idx
-            )
+                # deferred: no vector bytes move until the first bind
+                db.indexes[name] = IndexEntry(
+                    name=name, table=meta["table"], column=meta["column"],
+                    loader=(lambda p=os.path.join(
+                        path, f"index_{name}.vss"): load_index(p)),
+                    meta=meta,
+                )
         return db
