@@ -159,3 +159,79 @@ def test_sharded_index_in_database(rng, tmp_path):
         db3 = Database.open(p2)
         r = db3.sql(f"SELECT id FROM t ORDER BY array_distance(vec, {vec_lit}) LIMIT 1")
         assert r["id"][0] == 7
+
+
+def test_sharded_int8(rng):
+    """int8 tapes on the sharded index: global scale, rescaled distances,
+    recall comparable to f32."""
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.ops import bruteforce_topk
+    from vss_tpu.parallel import ShardedHNSWIndex, make_mesh
+
+    import jax.numpy as jnp
+
+    vecs = rng.uniform(0, 255, (600, 16)).astype(np.float32)
+    cfg = HNSWConfig(dims=16, storage_dtype="int8")
+    idx = ShardedHNSWIndex.build(vecs, cfg, make_mesh(4), wave_size=64)
+    assert idx.vector_scale > 1.0
+    q = vecs[:32] + 0.5
+    d, rows = idx.search(q, k=5)
+    gt_d, gt_i = bruteforce_topk(jnp.asarray(q), jnp.asarray(vecs), 5, "l2sq")
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(np.asarray(rows), np.asarray(gt_i))
+    )
+    assert hits / (32 * 5) >= 0.8
+    # distances are in real (unscaled) units
+    assert abs(float(d[0][0]) - float(gt_d[0][0])) < max(1.0, 0.05 * float(gt_d[0][0]) + 50)
+
+
+def test_sharded_filter_mask(rng):
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.parallel import ShardedHNSWIndex, make_mesh
+
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    cfg = HNSWConfig(dims=8)
+    idx = ShardedHNSWIndex.build(vecs, cfg, make_mesh(4), wave_size=64)
+    # allow only even rowids
+    srow = idx.slot_rowid_array()
+    mask = (srow % 2 == 0) & (srow >= 0)
+    d, rows = idx.search(vecs[:16], k=5, filter_mask=mask)
+    rows = np.asarray(rows)
+    assert np.all(rows[rows >= 0] % 2 == 0)
+    assert (rows >= 0).sum() >= 16 * 3  # plenty of even rows reachable
+
+
+def test_sharded_rebalance_after_skewed_deletes(rng):
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.parallel import ShardedHNSWIndex, make_mesh
+
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    cfg = HNSWConfig(dims=8)
+    idx = ShardedHNSWIndex.build(vecs, cfg, make_mesh(4), wave_size=64)
+    # delete most rows living on shards 0 and 1 (round-robin: rowid % 4)
+    dead = [r for r in range(400) if r % 4 in (0, 1) and r > 20]
+    idx.delete(dead)
+    counts = idx._live_counts()
+    assert counts.max() - counts.min() > 0.25 * counts.mean()
+    assert idx.rebalance()
+    counts2 = idx._live_counts()
+    assert counts2.max() - counts2.min() <= max(1, 0.25 * counts2.mean())
+    assert idx.deleted_count == 0 and idx.count == 400 - len(dead)
+    # search still healthy and excludes deleted rows
+    d, rows = idx.search(vecs[:8], k=3)
+    rows = np.asarray(rows)
+    assert np.all(~np.isin(rows[rows >= 0], np.asarray(dead)))
+
+
+def test_sharded_compact_triggers_rebalance(rng):
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.parallel import ShardedHNSWIndex, make_mesh
+
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    idx = ShardedHNSWIndex.build(vecs, HNSWConfig(dims=8), make_mesh(4), wave_size=64)
+    idx.delete([r for r in range(200) if r % 4 == 0])  # all of shard 0
+    idx.compact()
+    assert idx.deleted_count == 0
+    counts = idx._live_counts()
+    assert counts.max() - counts.min() <= max(1, 0.3 * counts.mean())

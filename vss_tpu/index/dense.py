@@ -36,9 +36,22 @@ from vss_tpu.index.search import hnsw_search
 from vss_tpu.utils import next_pow2
 from vss_tpu.ops.distance import Metric
 
-__all__ = ["HNSWIndex"]
+__all__ = ["HNSWIndex", "rescale_distances"]
 
 _RESERVE = 8  # tail slots reserved (scatter sink + padding headroom)
+
+
+def rescale_distances(d, scale: float, metric) -> jax.Array:
+    """Map scaled-unit index distances back to real units (int8 tape).
+    l2sq scales by s^2; cosine is scale-invariant; the internal ip
+    form 1 - dot maps via dot_real = (1 - d) * s^2."""
+    m = Metric.parse(metric)
+    s = scale
+    if m == Metric.L2SQ:
+        return d * (s * s)
+    if m == Metric.IP:
+        return 1.0 - (1.0 - d) * (s * s)
+    return d
 
 
 
@@ -193,16 +206,11 @@ class HNSWIndex:
         return d, rows
 
     def _rescale_distances(self, d):
-        """Map scaled-unit index distances back to real units (int8 tape).
-        l2sq scales by s^2; cosine is scale-invariant; the internal ip
-        form 1 - dot maps via dot_real = (1 - d) * s^2."""
-        s = self.vector_scale
-        m = Metric.parse(self.config.metric)
-        if m == Metric.L2SQ:
-            return d * (s * s)
-        if m == Metric.IP:
-            return 1.0 - (1.0 - d) * (s * s)
-        return d
+        return rescale_distances(d, self.vector_scale, self.config.metric)
+
+    def slot_rowid_array(self) -> np.ndarray:
+        """slot -> rowid tape, host copy (filtered-search mask surface)."""
+        return np.asarray(self.graph.slot_to_rowid)
 
     # ------------------------------------------------------------- insert
     def _ensure_capacity(self, extra_slots: int, extra_upper: int):

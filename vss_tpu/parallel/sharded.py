@@ -48,10 +48,6 @@ class ShardedHNSWIndex:
     """Row-partitioned HNSW over a 1-D device mesh."""
 
     def __init__(self, config: HNSWConfig, mesh: Optional[Mesh] = None):
-        if config.storage_dtype == "int8":
-            raise NotImplementedError(
-                "int8 storage is not supported for sharded indexes yet"
-            )
         self.config = config
         self.mesh = mesh or make_mesh()
         self.n_shards = self.mesh.devices.size
@@ -68,22 +64,40 @@ class ShardedHNSWIndex:
         self._insert_seed = 0
         self._insert_counter = 0
         self.dirty = False
+        # int8 tapes: global symmetric quantization scale (as HNSWIndex)
+        self.vector_scale = 1.0
         # per-instance jit caches. NOT functools.lru_cache on the methods:
         # that would key on `self` and pin every index (and its device
         # arrays) for the process lifetime — a leak in long-lived services.
         self._wave_fns: dict = {}
         self._search_fns: dict = {}
 
-    # the per-slot filter-mask surface only exists on single-shard indexes
-    supports_filter_pushdown = False
+    supports_filter_pushdown = True
+
+    def slot_rowid_array(self) -> np.ndarray:
+        """slot -> rowid tape(s), host copy: [n_shards, cap]. The uniform
+        surface filtered search masks are built against."""
+        return np.asarray(self.graphs.slot_to_rowid)
 
     # ------------------------------------------------------------ sharding
     def _shard_spec(self):
         return NamedSharding(self.mesh, P(SHARD_AXIS))
 
+    def _put(self, host_array):
+        """Shard a host array along its leading axis onto the mesh —
+        multi-process safe (each process feeds its local shards)."""
+        from vss_tpu.parallel.multihost import place_sharded
+
+        if (
+            isinstance(host_array, jax.Array)
+            and not host_array.is_fully_addressable
+        ):
+            # already a global array produced by an SPMD computation
+            return host_array
+        return place_sharded(self.mesh, host_array)
+
     def _place(self, stacked: HNSWGraph) -> HNSWGraph:
-        spec = self._shard_spec()
-        return jax.tree.map(lambda x: jax.device_put(x, spec), stacked)
+        return jax.tree.map(self._put, stacked)
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -105,6 +119,9 @@ class ShardedHNSWIndex:
         self = cls(config, mesh)
         S = self.n_shards
         vectors = np.asarray(vectors, np.float32)
+        if config.storage_dtype == "int8":
+            self.vector_scale = float(np.abs(vectors).max()) / 127.0 or 1.0
+            vectors = vectors / self.vector_scale
         n, d = vectors.shape
         if rowids is None:
             rowids = np.arange(n, dtype=np.int64)
@@ -148,11 +165,7 @@ class ShardedHNSWIndex:
                 ur[s], next_rows[s] = plan_wave_rows(
                     lv[s], next_rows[s], config.max_levels
                 )
-            spec = self._shard_spec()
-            args = [
-                jax.device_put(jnp.asarray(a), spec)
-                for a in (wv, sl, lv, ur, rid, va)
-            ]
+            args = [self._put(a) for a in (wv, sl, lv, ur, rid, va)]
             stacked = wave_fn(stacked, *args)
             if progress is not None:
                 progress(min((w + 1) * W * S, n), n)
@@ -193,16 +206,18 @@ class ShardedHNSWIndex:
         return self._wave_fns[key]
 
     # ------------------------------------------------------------ search
-    def _search_fn(self, k: int, ef: int, expand: int, all_valid: bool):
-        key = (k, ef, expand, all_valid)
+    def _search_fn(self, k: int, ef: int, expand: int, all_valid: bool,
+                   with_mask: bool = False):
+        key = (k, ef, expand, all_valid, with_mask)
         if key in self._search_fns:
             return self._search_fns[key]
         config = self.config
 
-        def per_shard(graph_blk, q):
+        def per_shard(graph_blk, q, *mask):
             g = jax.tree.map(lambda x: x[0], graph_blk)
             d, slots = hnsw_search(
                 g, config, q, k, ef=ef, expand=expand,
+                filter_mask=mask[0][0] if with_mask else None,
                 assume_all_valid=all_valid,
             )
             rows = jnp.where(
@@ -220,10 +235,11 @@ class ShardedHNSWIndex:
             )
             return md, mr
 
+        in_specs = (P(SHARD_AXIS), P()) + ((P(SHARD_AXIS),) if with_mask else ())
         fn = jax.shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(SHARD_AXIS), P()),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -232,20 +248,31 @@ class ShardedHNSWIndex:
 
     def search(self, queries, k: int, ef: Optional[int] = None,
                expand: int = 1, filter_mask=None):
-        """Broadcast batched search; returns (dists [B,k], rowids [B,k])."""
-        if filter_mask is not None:
-            raise NotImplementedError(
-                "sharded indexes do not support slot filter masks"
-            )
+        """Broadcast batched search; returns (dists [B,k], rowids [B,k]).
+
+        `filter_mask`: optional bool [n_shards, cap] per-slot predicate
+        (rows allowed into results), sharded along the mesh axis."""
         graphs = self.graphs  # snapshot: lock-free concurrent reads
         if graphs is None:
             raise ValueError("index is empty — call build() first")
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
+        if self.config.storage_dtype == "int8":
+            q = q / self.vector_scale
         ef = max(ef or self.config.ef_search, k)
-        fn = self._search_fn(k, ef, expand, self.deleted_count == 0)
-        return fn(graphs, q)
+        if filter_mask is not None:
+            mask = self._put(np.asarray(filter_mask, bool))
+            fn = self._search_fn(k, ef, expand, False, True)
+            d, rows = fn(graphs, q, mask)
+        else:
+            fn = self._search_fn(k, ef, expand, self.deleted_count == 0)
+            d, rows = fn(graphs, q)
+        if self.config.storage_dtype == "int8":
+            from vss_tpu.index.dense import rescale_distances
+
+            d = rescale_distances(d, self.vector_scale, self.config.metric)
+        return d, rows
 
     # ------------------------------------------------------------ CRUD
     def insert(self, vectors, rowids):
@@ -255,6 +282,8 @@ class ShardedHNSWIndex:
         vectors = np.asarray(vectors, np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None]
+        if self.config.storage_dtype == "int8":
+            vectors = vectors / self.vector_scale  # out-of-range clips in-wave
         rowids = np.asarray(rowids, np.int64)
         check_rowids_int32(rowids)
         n = vectors.shape[0]
@@ -330,11 +359,7 @@ class ShardedHNSWIndex:
         wave_fn = self._make_wave_fn(
             W, self.config.ef_construction, 4, min(self.config.m, W)
         )
-        spec = self._shard_spec()
-        args = [
-            jax.device_put(jnp.asarray(a), spec)
-            for a in (wv, sl, lv, ur, rid, va)
-        ]
+        args = [self._put(a) for a in (wv, sl, lv, ur, rid, va)]
         self.graphs = wave_fn(self.graphs, *args)
         self.count += n
         self.dirty = True
@@ -414,6 +439,7 @@ class ShardedHNSWIndex:
             r: slot for r, (sh, slot) in self.rowid_to_loc.items() if sh == s
         }
         idx._insert_seed = self._insert_seed
+        idx.vector_scale = self.vector_scale
         return idx
 
     def _restack(self, locals_) -> None:
@@ -437,16 +463,67 @@ class ShardedHNSWIndex:
             for r, slot in l.rowid_to_slot.items()
         }
         self.count = sum(l.count for l in locals_)
+        self.vector_scale = max((l.vector_scale for l in locals_), default=1.0)
 
     def compact(self):
-        """Shard-local compaction (PRAGMA hnsw_compact_index analog)."""
+        """Compaction (PRAGMA hnsw_compact_index analog): when tombstones
+        have skewed the shards, repartition globally (skew-aware rebuild);
+        otherwise compact each shard in place."""
         if self.deleted_count == 0:
+            return
+        if self.rebalance():
             return
         locals_ = [self._extract_shard(s) for s in range(self.n_shards)]
         for l in locals_:
             l.compact()
         self._restack(locals_)
         self.dirty = True
+
+    def _live_counts(self) -> np.ndarray:
+        counts = np.zeros(self.n_shards, np.int64)
+        for s, _slot in self.rowid_to_loc.values():
+            counts[s] += 1
+        return counts
+
+    def rebalance(self, max_imbalance: float = 0.25,
+                  wave_size: int = 1024) -> bool:
+        """Skew-aware repartitioning (SURVEY §5.8): when live row counts
+        diverge across shards beyond `max_imbalance` of the mean (deletes
+        land unevenly; NULLs were dropped upstream), pull every live row
+        back and rebuild with a balanced round-robin partition. Returns
+        True if a rebuild happened.
+
+        The reference has no analog — its graph is one shared-memory
+        structure; shard balance is a distributed-only concern."""
+        if self.graphs is None:
+            return False
+        counts = self._live_counts()
+        total = int(counts.sum())
+        if total == 0:
+            return False
+        mean = total / self.n_shards
+        if counts.max() - counts.min() <= max_imbalance * max(mean, 1.0):
+            return False
+        vecs, rids = [], []
+        host_valid = np.asarray(self.graphs.valid)
+        host_vecs = np.asarray(self.graphs.vectors)
+        host_rows = np.asarray(self.graphs.slot_to_rowid)
+        for s in range(self.n_shards):
+            live = np.flatnonzero(host_valid[s])
+            v = host_vecs[s][live].astype(np.float32)
+            if self.config.storage_dtype == "int8":
+                v = v * self.vector_scale
+            vecs.append(v)
+            rids.append(host_rows[s][live])
+        vectors = np.concatenate(vecs) if vecs else np.zeros((0, self.config.dims))
+        rowids = np.concatenate(rids).astype(np.int64)
+        fresh = ShardedHNSWIndex.build(
+            vectors, self.config, self.mesh, rowids=rowids,
+            wave_size=wave_size, seed=self._insert_seed,
+        )
+        self.__dict__.update(fresh.__dict__)
+        self.dirty = True
+        return True
 
     def save(self, path: str):
         """Checkpoint: one stream per shard + catalog json (directory)."""

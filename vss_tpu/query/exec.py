@@ -340,7 +340,8 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             chunk = t.chunk(columns=[c for c in cols if c in t.columns])
             ok = np.asarray(node.pushed_filter.evaluate(chunk), bool)
             allowed = chunk["__rowid__"][ok]
-            srow = np.asarray(entry.index.graph.slot_to_rowid)
+            # works for both layouts: [cap] single-shard, [S, cap] sharded
+            srow = entry.index.slot_rowid_array()
             filter_mask = jnp.asarray(np.isin(srow, allowed))
         _, rows = _search_index(
             db, node.index_name, q, node.k, filter_mask=filter_mask
