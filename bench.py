@@ -2,17 +2,29 @@
 
 Run on one real TPU chip by the driver. Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...,
-   plus auxiliary fields (recall@10, build rows/s, config)}.
+   plus recall, build rate, exact-scan rate, and MFU/bandwidth audit}.
 
 The reference publishes no benchmark numbers (BASELINE.md); vs_baseline
 is measured QPS divided by 10_000 — a representative usearch-on-CPU
 single-node SIFT1M throughput at the same defaults (M=16, ef=64), stated
 here explicitly since no published figure exists.
 
+MEASUREMENT METHODOLOGY (round 2): the dev chip sits behind the axon
+relay, which adds multi-ms dispatch overhead and makes dispatch-level
+timing lie badly (round-1's 660-800k-qps exact-scan figures implied >200
+TF/s of f32 work on a chip whose measured f32-HIGHEST matmul peak is ~28
+TF/s — an artifact, not a result). Every timed quantity here is therefore
+slope-timed IN-GRAPH: a jitted fori_loop runs the operation N times with
+a data-dependency chain, a scalar is fetched to host, and the per-op time
+is (t_N2 - t_N1) / (N2 - N1), which cancels dispatch+transfer overhead
+and cannot be deduplicated or overlapped away. MXU peaks are re-measured
+in-process the same way, so the reported utilization ratios are
+self-consistent.
+
 Environment knobs:
   VSS_BENCH_N        rows            (default 1_000_000; 20_000 on CPU)
   VSS_BENCH_D        dims            (default 128)
-  VSS_BENCH_NQ       queries         (default 10_000)
+  VSS_BENCH_NQ       queries         (default 2_048)
   VSS_BENCH_K        top-k           (default 10)
   VSS_BENCH_EF       ef_search       (default 64)
   VSS_BENCH_WAVE     build wave size (default 1024)
@@ -23,6 +35,7 @@ Environment knobs:
   VSS_BENCH_STORAGE  f32|bf16|int8          (default f32)
   VSS_BENCH_RECALL_TARGET  ef escalates until recall >= this (default 0.90)
   VSS_BENCH_DELETES  fraction to tombstone+compact+requery (default 0 = skip)
+  VSS_BENCH_FUSED    1/0 force fused Pallas gather (default auto)
 """
 import json
 import os
@@ -30,6 +43,10 @@ import sys
 import time
 
 import numpy as np
+
+# v5e nominal HBM bandwidth, used only as the denominator of the reported
+# bandwidth-utilization ratios (the MXU denominators are measured live)
+HBM_PEAK_GB_S = 819.0
 
 
 def log(msg):
@@ -57,27 +74,80 @@ def _ensure_backend():
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
+def _slope(fn, lo, hi):
+    """Per-iteration time of an iters-parameterized jitted computation,
+    warmed at both iteration counts, forced by a host scalar fetch."""
+    _ = float(np.asarray(fn(lo)).ravel()[0])
+    _ = float(np.asarray(fn(hi)).ravel()[0])
+    t0 = time.perf_counter()
+    _ = float(np.asarray(fn(lo)).ravel()[0])
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(np.asarray(fn(hi)).ravel()[0])
+    t_hi = time.perf_counter() - t0
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+
+def measure_mxu_peaks():
+    """bf16 and f32-HIGHEST matmul rates via chained in-graph loops; the
+    denominators for the MFU audit."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    M = 2048
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((M, M)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((M, M)), jnp.float32)
+
+    def chain(prec, dtype):
+        @partial(jax.jit, static_argnames=("iters",))
+        def f(a, b, iters: int):
+            def body(i, r):
+                return (
+                    jnp.dot(
+                        r, b.astype(dtype), preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                    * 1e-3
+                ).astype(dtype)
+
+            return jax.lax.fori_loop(0, iters, body, a.astype(dtype))[0, 0]
+
+        return f
+
+    import jax.lax as lax
+
+    fl = 2 * M**3
+    f_bf = chain(lax.Precision.DEFAULT, jnp.bfloat16)
+    bf16 = fl / _slope(lambda it: f_bf(a, b, it), 4, 16) / 1e12
+    f_hi = chain(lax.Precision.HIGHEST, jnp.float32)
+    f32h = fl / _slope(lambda it: f_hi(a, b, it), 2, 8) / 1e12
+    log(f"[bench] measured peaks: bf16={bf16:.0f} TF/s, f32-HIGHEST={f32h:.1f} TF/s")
+    return bf16, f32h
+
+
 def main():
     _ensure_backend()
     import jax
 
-    # persistent compile cache: the remote-compile tunnel costs minutes per
-    # computation; cache across bench runs
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     import jax.numpy as jnp
+    from functools import partial
 
-    from vss_tpu.index import HNSWConfig, hnsw_search
+    from vss_tpu.index import HNSWConfig
     from vss_tpu.index.dense import HNSWIndex
+    from vss_tpu.index.search import _default_fused, _hnsw_search_impl
     from vss_tpu.ops import bruteforce_topk
 
     on_cpu = jax.default_backend() == "cpu"
     N = int(os.environ.get("VSS_BENCH_N", 20_000 if on_cpu else 1_000_000))
     D = int(os.environ.get("VSS_BENCH_D", 128))
-    NQ = int(os.environ.get("VSS_BENCH_NQ", 1_000 if on_cpu else 10_000))
+    NQ = int(os.environ.get("VSS_BENCH_NQ", 1_024 if on_cpu else 2_048))
     K = int(os.environ.get("VSS_BENCH_K", 10))
     EF = int(os.environ.get("VSS_BENCH_EF", 64))
     WAVE = int(os.environ.get("VSS_BENCH_WAVE", 1024))
@@ -87,6 +157,7 @@ def main():
     STORAGE = os.environ.get("VSS_BENCH_STORAGE", "f32")
     QBATCH = int(os.environ.get("VSS_BENCH_QBATCH", 512))
     ESEARCH = int(os.environ.get("VSS_BENCH_ESEARCH", 2))
+    QBATCH = min(QBATCH, NQ)
 
     log(f"[bench] backend={jax.default_backend()} N={N} D={D} NQ={NQ} K={K} EF={EF}")
     rng = np.random.default_rng(0)
@@ -99,52 +170,58 @@ def main():
     vecs = np.clip(
         centers[rng.integers(0, n_centers, N)] + rng.normal(0, 25, (N, D)), 0, 255
     ).astype(np.float32)
+    nb = max(NQ // QBATCH, 1)
+    NQ = nb * QBATCH
     queries = np.clip(
         centers[rng.integers(0, n_centers, NQ)] + rng.normal(0, 25, (NQ, D)), 0, 255
     ).astype(np.float32)
 
     cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF, storage_dtype=STORAGE)
 
-    # ground truth FIRST, then free the device copy of the dataset before
-    # the build allocates its tape (a 1M x 960-d run double-buffering the
-    # dataset plus scan workspace exhausts a 16GB chip otherwise)
+    bf16_peak, f32h_peak = (0.0, 0.0) if on_cpu else measure_mxu_peaks()
+
+    # ---- ground truth + exact-scan rate
     log("[bench] ground truth...")
     if DEL_FRAC > 0:
         dead = rng.choice(N, int(N * DEL_FRAC), replace=False)
         alive_mask = np.ones(N, bool)
         alive_mask[dead] = False
     xs = jnp.asarray(vecs)
-    # pre-upload query batches once: host<->device transfers must not
-    # pollute throughput numbers (they are pipelined/overlapped in any
-    # real serving setup, and this dev chip sits behind a slow tunnel)
-    nq_pad = ((NQ + QBATCH - 1) // QBATCH) * QBATCH
-    q_pad = np.zeros((nq_pad, D), np.float32)
-    q_pad[:NQ] = queries
-    q_batches = [
-        jnp.asarray(q_pad[s : s + QBATCH]) for s in range(0, nq_pad, QBATCH)
-    ]
-    jax.block_until_ready(q_batches[-1])
-    # warm the scan (compile excluded from the timed pass)
-    jax.block_until_ready(bruteforce_topk(q_batches[0], xs, K, METRIC)[0])
-    outs = []
-    t0 = time.perf_counter()
-    for qb in q_batches:
-        outs.append(bruteforce_topk(qb, xs, K, METRIC)[1])
-    jax.block_until_ready(outs[-1])
-    brute_s = time.perf_counter() - t0
-    gt = np.concatenate([np.asarray(o) for o in outs])[:NQ]
-    brute_qps = NQ / brute_s
-    log(f"[bench] brute force {brute_s:.1f}s ({brute_qps:.0f} qps)")
+    q_stack = jnp.asarray(queries.reshape(nb, QBATCH, D))
+    gt_parts = []
+    for i in range(nb):
+        gt_parts.append(np.asarray(bruteforce_topk(q_stack[i], xs, K, METRIC)[1]))
+    gt = np.concatenate(gt_parts)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def scan_loop(q_stack, xs, iters: int):
+        def body(i, carry):
+            acc, delta = carry
+            d, _ = bruteforce_topk(q_stack[i % nb] + delta, xs, K, METRIC)
+            s = d[0, 0]
+            return acc + s, delta + s * 1e-30
+
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
+        return acc
+
+    per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 2, 6)
+    brute_qps = QBATCH / per_scan
+    scan_tflops = 2 * QBATCH * N * D / per_scan / 1e12
+    scan_gb_s = (N * D * 4) / per_scan / 1e9
+    log(f"[bench] exact scan: {per_scan*1e3:.1f}ms/{QBATCH}-batch = "
+        f"{brute_qps:.0f} qps ({scan_tflops:.1f} TF/s model, "
+        f"{scan_gb_s:.0f} GB/s table stream)")
+
     gt_deleted = None
     if DEL_FRAC > 0:
         _, ids2 = bruteforce_topk(
-            jnp.asarray(queries[:QBATCH]), xs, K, METRIC,
-            valid_mask=jnp.asarray(alive_mask),
+            q_stack[0], xs, K, METRIC, valid_mask=jnp.asarray(alive_mask)
         )
         gt_deleted = np.asarray(ids2)
     del xs
     jax.clear_caches()  # also drops cached scan workspaces
 
+    # ---- build
     log("[bench] building index...")
     t0 = time.perf_counter()
 
@@ -154,51 +231,73 @@ def main():
 
     idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
                           method="wave", progress=_progress)
-    jax.block_until_ready(idx.graph.vectors)
+    # force real completion: fetch a scalar that depends on the last wave
+    _ = float(np.asarray(idx.graph.count))
     build_s = time.perf_counter() - t0
     build_rows_per_s = N / build_s
     log(f"[bench] build {build_s:.1f}s ({build_rows_per_s:.0f} rows/s)")
 
-    # timed index search; escalate ef until the recall target is met so
-    # the headline (QPS, recall) pair is reported at one setting
+    # ---- search (slope-timed in-graph over the batch stack)
     graph, config = idx.graph, idx.config
+    allow = graph.valid
+    fused_env = os.environ.get("VSS_BENCH_FUSED")
+    fused = (fused_env == "1") if fused_env is not None else _default_fused(graph)
+    scale = idx.vector_scale
+
+    def q_scaled(qs):
+        return qs / scale if STORAGE == "int8" else qs
+
+    @partial(jax.jit, static_argnames=("iters", "ef"))
+    def search_loop(graph, q_stack, allow, iters: int, ef: int):
+        def body(i, carry):
+            acc, delta = carry
+            q = q_scaled(q_stack[i % nb]) + delta
+            d, sl, it, ev = _hnsw_search_impl(
+                graph, config, q, allow, K, ef, ESEARCH, 0, False, True,
+                fused,
+            )
+            s = d[0, 0]
+            return acc + s, delta + s * 1e-30
+
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
+        return acc
 
     def run_at(ef):
-        def search_batch(qb):
-            d, slots = hnsw_search(graph, config, qb, k=K, ef=ef, expand=ESEARCH,
-                                   assume_all_valid=True)
-            rows = jnp.where(
-                slots >= 0,
-                jnp.take(graph.slot_to_rowid, jnp.maximum(slots, 0)),
-                -1,
+        per = _slope(lambda it: search_loop(graph, q_stack, allow, it, ef), 2, 8)
+        qps = QBATCH / per
+        rowss, evals_tot, iters_max = [], 0, 0
+        for i in range(nb):
+            d, sl, iters, evals = _hnsw_search_impl(
+                graph, config, q_scaled(q_stack[i]), allow, K, ef, ESEARCH,
+                0, False, True, fused,
             )
-            return d, rows
-
-        jax.block_until_ready(search_batch(q_batches[0]))  # compile
-        results = []
-        t0 = time.perf_counter()
-        for qb in q_batches:
-            results.append(search_batch(qb)[1])
-        jax.block_until_ready(results[-1])
-        search_s = time.perf_counter() - t0
-        got = np.concatenate([np.asarray(r) for r in results])[:NQ]
+            rowss.append(np.asarray(
+                jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
+            ))
+            evals_tot += int(evals)
+            iters_max = max(iters_max, int(iters))
+        got = np.concatenate(rowss)
         hits = sum(
             len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
             for a, b in zip(got, gt)
         )
-        return NQ / search_s, hits / (NQ * K)
+        return qps, hits / (NQ * K), per, evals_tot / nb, iters_max
 
     RECALL_TARGET = float(os.environ.get("VSS_BENCH_RECALL_TARGET", 0.90))
-    ef_used = EF
+    ef_used = max(EF, K)
     log("[bench] searching...")
-    qps, rec = run_at(ef_used)
-    log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f}")
+    qps, rec, per_b, evals_b, iters_b = run_at(ef_used)
+    log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f} "
+        f"(fused={fused}, {iters_b} iters, {evals_b:.0f} evals/batch)")
     for ef_try in (96, 128, 192):
         if rec >= RECALL_TARGET or ef_try <= ef_used:
             break
         ef_used = ef_try
-        qps, rec = run_at(ef_used)
+        qps, rec, per_b, evals_b, iters_b = run_at(ef_used)
         log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f}")
+
+    row_bytes = D * {"f32": 4, "bf16": 2, "int8": 1}[STORAGE]
+    gather_gb_s = evals_b * row_bytes / per_b / 1e9
 
     extra = {}
     if DEL_FRAC > 0:
@@ -206,7 +305,7 @@ def main():
         log(f"[bench] deleting {n_del} rows + compact + requery...")
         idx.delete(dead.tolist())
         idx.compact()
-        d2, rows2 = idx.search(queries[:QBATCH], k=K, ef=ef_used)
+        d2, rows2 = idx.search(np.asarray(q_stack[0]), k=K, ef=ef_used)
         hits2 = sum(
             len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
             for a, b in zip(np.asarray(rows2), gt_deleted)
@@ -222,10 +321,28 @@ def main():
         "recall_at_k": round(rec, 4),
         "k": K,
         "ef_search": ef_used,
+        "fused_gather": bool(fused),
         "build_rows_per_s": round(build_rows_per_s, 1),
         "build_seconds": round(build_s, 1),
         "brute_force_qps": round(brute_qps, 1),
         "backend": jax.default_backend(),
+        # --- speed-of-light audit (BASELINE.md kernel clause) ---
+        "mfu": {
+            "measured_bf16_peak_tflops": round(bf16_peak, 1),
+            "measured_f32_highest_peak_tflops": round(f32h_peak, 1),
+            "exact_scan_model_tflops": round(scan_tflops, 2),
+            "exact_scan_vs_f32_highest_peak": round(
+                scan_tflops / f32h_peak, 3
+            ) if f32h_peak else None,
+            "exact_scan_table_stream_gb_s": round(scan_gb_s, 1),
+            "exact_scan_vs_hbm_peak": round(scan_gb_s / HBM_PEAK_GB_S, 3),
+            "search_gather_gb_s": round(gather_gb_s, 2),
+            "search_gather_vs_hbm_peak": round(
+                gather_gb_s / HBM_PEAK_GB_S, 4
+            ),
+            "search_evals_per_batch": round(evals_b, 0),
+            "search_beam_iters": iters_b,
+        },
         **extra,
     }
     print(json.dumps(out))

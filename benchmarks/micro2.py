@@ -47,8 +47,10 @@ def main():
     ids0 = jnp.asarray(rng.integers(0, N, n_ids), jnp.int32)
 
     def slope(fn, lo=2, hi=12):
-        r = fn(lo)
-        _ = float(np.asarray(r).ravel()[0])  # compile+warm, force materialize
+        # warm BOTH iteration counts (each is its own XLA program — an
+        # unwarmed hi run times the compiler, not the chip)
+        _ = float(np.asarray(fn(lo)).ravel()[0])
+        _ = float(np.asarray(fn(hi)).ravel()[0])
         t0 = time.perf_counter()
         _ = float(np.asarray(fn(lo)).ravel()[0])
         t_lo = time.perf_counter() - t0
@@ -88,16 +90,20 @@ def main():
         return acc
 
     tabs = {
-        "f32": (x, 4 * D),
-        "int8": ((x / 2).astype(jnp.int8), D),
+        "f32": (x, 4 * D, True),
+        "int8": ((x / 2).astype(jnp.int8), D, False),  # Mosaic: no 1-row
+        # DMA slices from (32,128)-tiled int8 tables; packed-view gathers
+        # are exercised separately (bench_search_ab)
     }
-    for name, (tab, row_bytes) in tabs.items():
+    for name, (tab, row_bytes, do_pallas) in tabs.items():
         per = slope(lambda it: take_loop(tab, ids0, it))
         rps = n_ids / per
         results[f"xla_take_{name}_Mrows_s"] = rps / 1e6
         log(f"XLA take {name}: {per*1e3:.2f}ms/iter, {rps/1e6:.1f}M rows/s, "
             f"{rps*row_bytes/1e9:.0f} GB/s")
         for chunk in (256, 512):
+            if not do_pallas:
+                continue
             try:
                 per = slope(lambda it: pallas_loop(tab, ids0, it, chunk))
                 rps = n_ids / per
@@ -204,6 +210,28 @@ def main():
     results["pw_pallas_top10_err"] = churn
     log(f"pairwise PALLAS: {per*1e3:.2f}ms -> {tf:.0f} TF/s, "
         f"top10 err vs f64 = {churn:.4f}")
+
+    # ---------------- 3. exact scan, slope-timed in-graph
+    from vss_tpu.ops.topk import bruteforce_topk
+
+    qb = jnp.asarray(x_np[:512] + 0.25)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def scan_loop(q, iters: int):
+        def body(j, carry):
+            acc, qq = carry
+            d, i = bruteforce_topk(qq, x, 10, "l2sq")
+            s = d[0, 0]
+            return acc + s, qq + s * 1e-30
+
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), q))
+        return acc
+
+    per = slope(lambda it: scan_loop(qb, it), lo=2, hi=6)
+    qps = 512 / per
+    results["exact_scan_qps_true"] = qps
+    log(f"exact scan (slope, in-graph): {per*1e3:.1f}ms/batch -> "
+        f"{qps:.0f} qps, implies {2*512*N*D/per/1e12:.1f} TF/s")
 
     import json
 

@@ -134,7 +134,7 @@ def _apply_backlinks_level(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "efc", "expand", "intra_k")
+    jax.jit, static_argnames=("config", "efc", "expand", "intra_k", "fused")
 )
 def insert_wave(
     graph: HNSWGraph,
@@ -148,17 +148,18 @@ def insert_wave(
     efc: int,
     expand: int = 4,
     intra_k: int = 16,
+    fused: bool = False,
 ) -> HNSWGraph:
     """Insert one wave of nodes. Pure function; jits once per wave shape."""
     return _insert_wave_core(
         graph, config, wave_vecs, slots, wave_levels, wave_upper_rows,
-        wave_rowids, wave_valid, efc, expand, intra_k,
+        wave_rowids, wave_valid, efc, expand, intra_k, fused,
     )
 
 
 def _insert_wave_core(
     graph, config, wave_vecs, slots, wave_levels, wave_upper_rows,
-    wave_rowids, wave_valid, efc, expand=4, intra_k=16,
+    wave_rowids, wave_valid, efc, expand=4, intra_k=16, fused=False,
 ) -> HNSWGraph:
     W = wave_vecs.shape[0]
     wave_vecs = wave_vecs.astype(jnp.float32)
@@ -216,7 +217,7 @@ def _insert_wave_core(
         res_d, res_i, _, _stats = beam_search_base(
             g, config, wave_vecs, s, sd, efc, occupied,
             expand=expand, level=lev, x_norms=x_norms, q_norms=q_norms,
-            dual_pool=False,
+            dual_pool=False, fused=fused,
         )
         # intra-wave mates present at this level
         d_lev = jnp.where((wave_levels >= lev)[None, :], d_ww, _INF)
@@ -301,7 +302,9 @@ def plan_wave_rows(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "W", "n_waves", "efc", "expand", "intra_k"),
+    static_argnames=(
+        "config", "W", "n_waves", "efc", "expand", "intra_k", "fused"
+    ),
     donate_argnames=("graph",),
 )
 def _build_segment(
@@ -318,6 +321,7 @@ def _build_segment(
     efc: int,
     expand: int,
     intra_k: int,
+    fused: bool = False,
 ) -> HNSWGraph:
     """Insert `n_waves` consecutive waves in ONE device program.
 
@@ -335,7 +339,8 @@ def _build_segment(
         va = jax.lax.dynamic_slice_in_dim(valid_pad, s0, W)
         slots = s0 + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
         return _insert_wave_core(
-            g, config, wv, slots, lv, ur, rid, va, efc, expand, intra_k
+            g, config, wv, slots, lv, ur, rid, va, efc, expand, intra_k,
+            fused,
         )
 
     return jax.lax.fori_loop(0, n_waves, body, graph)
@@ -354,6 +359,7 @@ def build_graph_batched(
     intra_k: Optional[int] = None,
     progress: Optional[Callable[[int, int], None]] = None,
     waves_per_dispatch: int = 64,
+    fused: Optional[bool] = None,
 ) -> tuple[HNSWGraph, int]:
     """Build a graph over `vectors` [n, d] with fixed-size insert waves,
     executed as device-resident segments of `waves_per_dispatch` waves per
@@ -395,11 +401,16 @@ def build_graph_batched(
         jnp.asarray(rowids_pad),
         jnp.asarray(valid_pad),
     ]
+    if fused is None:
+        from vss_tpu.index.search import _default_fused
+
+        fused = _default_fused(graph)
     done = 0
     for w0 in range(0, n_waves, waves_per_dispatch):
         seg = min(waves_per_dispatch, n_waves - w0)
         graph = _build_segment(
-            graph, config, *args, jnp.int32(w0), W, seg, efc, expand, intra_k
+            graph, config, *args, jnp.int32(w0), W, seg, efc, expand,
+            intra_k, fused,
         )
         done = min((w0 + seg) * W, n)
         if progress is not None:

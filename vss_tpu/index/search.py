@@ -40,6 +40,20 @@ def _gather_vectors(vectors: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.take(vectors, jnp.maximum(ids, 0), axis=0)
 
 
+def _default_fused(graph: HNSWGraph) -> bool:
+    """Use the fused Pallas gather+score kernel when it applies: TPU
+    backend, f32 tape (sub-word tapes need 1-row HBM slices Mosaic
+    rejects — they keep the XLA gather). VSS_FUSED_GATHER=0/1 overrides."""
+    import os
+
+    from vss_tpu.utils import use_pallas
+
+    env = os.environ.get("VSS_FUSED_GATHER")
+    if env is not None:
+        return env == "1"
+    return use_pallas() and graph.vectors.dtype == jnp.float32
+
+
 def _gathered_norms(x_norms, ids):
     if x_norms is None:
         return None
@@ -159,6 +173,7 @@ def beam_search_base(
     q_norms: Optional[jax.Array] = None,
     dual_pool: bool = True,
     use_history: bool = True,
+    fused: bool = False,
 ):
     """Beam search with pool size `ef` from per-query seed nodes.
 
@@ -265,11 +280,20 @@ def beam_search_base(
         if E > 1:
             neigh = _dedupe_keep_first(jnp.where(neigh < 0, -1, neigh))
             # -1 pads collide in dedupe; restore them as -1 (they already are)
-        nd = gathered_distances(
-            q, _gather_vectors(graph.vectors, neigh), config.metric,
-            _gathered_norms(x_norms, neigh), q_norms,
-        )
-        nd = jnp.where(neigh >= 0, nd, _INF)
+        if fused:
+            # fused Pallas gather+score: sentinel ids (dups, padding,
+            # finished queries) issue no DMA and cost nothing
+            from vss_tpu.ops.gather import gather_distances_pallas
+
+            nd = gather_distances_pallas(
+                graph.vectors, neigh, q, config.metric, q_norms
+            )
+        else:
+            nd = gathered_distances(
+                q, _gather_vectors(graph.vectors, neigh), config.metric,
+                _gathered_norms(x_norms, neigh), q_norms,
+            )
+            nd = jnp.where(neigh >= 0, nd, _INF)
         evals = evals + jnp.sum((neigh >= 0).astype(jnp.int32))
 
         # merge into candidate pool (keep expansion flags aligned). A full
@@ -334,27 +358,30 @@ def beam_search_base(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "k", "ef", "expand", "max_iters", "dual_pool", "use_history"
+        "config", "k", "ef", "expand", "max_iters", "dual_pool",
+        "use_history", "fused",
     ),
 )
 def _hnsw_search_impl(
     graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
-    use_history=True,
+    use_history=True, fused=False,
 ):
     metric = Metric.parse(config.metric)
     x_norms = q_norms = None
     if metric in (Metric.L2SQ, Metric.COSINE):
-        # one pass over the tape, reused by every beam iteration
-        xv = graph.vectors.astype(jnp.float32)
-        x_norms = jnp.sum(xv * xv, axis=-1)
         q_norms = jnp.sum(q * q, axis=-1)
+        if not fused:
+            # one pass over the tape, reused by every beam iteration (the
+            # fused kernel computes row norms in VMEM instead)
+            xv = graph.vectors.astype(jnp.float32)
+            x_norms = jnp.sum(xv * xv, axis=-1)
     seeds, seed_d = greedy_descent(
         graph, config, q, x_norms=x_norms, q_norms=q_norms
     )
     res_d, res_i, _, (iters, evals) = beam_search_base(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
         x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
-        use_history=use_history,
+        use_history=use_history, fused=fused,
     )
     out_d = res_d[:, :k]
     out_i = res_i[:, :k]
@@ -377,6 +404,7 @@ def hnsw_search(
     with_stats: bool = False,
     assume_all_valid: bool = False,
     use_history: bool = True,
+    fused: Optional[bool] = None,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -400,9 +428,11 @@ def hnsw_search(
     # single-pool fast path: every reachable node admissible (caller
     # guarantees no tombstones via assume_all_valid; no filter given)
     dual_pool = not (assume_all_valid and filter_mask is None)
+    if fused is None:
+        fused = _default_fused(graph)
     d, i, iters, evals = _hnsw_search_impl(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
-        max_iters, dual_pool, use_history,
+        max_iters, dual_pool, use_history, fused,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}

@@ -120,3 +120,152 @@ def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     if use_pallas():
         return gather_rows_pallas(table, ids)
     return jnp.take(table, jnp.maximum(ids, 0), axis=0)
+
+
+# --------------------------------------------------------------------------
+# Fused gather + distance: the beam search's hot step. Each query's
+# candidate rows are DMA'd from HBM straight into VMEM scratch and scored
+# there; gathered vectors never round-trip through HBM, and sentinel ids
+# (-1: duplicates, padding, finished queries) issue NO DMA at all — the
+# XLA take path must clamp and fetch them anyway.
+# Replaces the gather half of `search_to_find_in_base_`
+# (/root/reference/src/include/usearch/index.hpp:3929-3999), where the CPU
+# cache hierarchy plays the role of these explicit copies.
+
+
+def _gather_dist_kernel(
+    ids_ref,      # scalar-prefetch: flat ids [B*C] (SMEM)
+    ids_v_ref,    # same ids, blocked [QB, C] (VMEM) for masking
+    q_ref,        # [QB, d] queries
+    qn_ref,       # [QB, 1] query squared norms
+    table_ref,    # [N, d] HBM
+    out_ref,      # [QB, C] distances
+    scratch,      # [QB*C, d] VMEM
+    sems,         # DMA semaphores
+    *,
+    qb: int,
+    c: int,
+    metric_name: str,
+):
+    from vss_tpu.ops.distance import Metric
+
+    metric = Metric.parse(metric_name)
+    i = pl.program_id(0)
+    base = i * qb * c
+    total = qb * c
+
+    def dma(j):
+        row = ids_ref[base + j]
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(jnp.maximum(row, 0), 1), :],
+            scratch.at[pl.ds(j, 1), :],
+            sems.at[j % _NSEM],
+        )
+
+    def start(j):
+        @pl.when(ids_ref[base + j] >= 0)
+        def _():
+            dma(j).start()
+
+    def wait(j):
+        @pl.when(ids_ref[base + j] >= 0)
+        def _():
+            dma(j).wait()
+
+    for j in range(min(_NSEM, total)):
+        start(j)
+
+    def body(j, carry):
+        wait(j)
+
+        @pl.when(j + _NSEM < total)
+        def _():
+            start(j + _NSEM)
+
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+    g = scratch[:].astype(jnp.float32).reshape(qb, c, -1)
+    qv = q_ref[:].astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        g, qv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [QB, C]
+    ok = ids_v_ref[:] >= 0
+    if metric == Metric.IP:
+        d = 1.0 - dots
+    else:
+        xn = jnp.sum(g * g, axis=2)
+        qn = qn_ref[:]  # [QB, 1]
+        if metric == Metric.L2SQ:
+            d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
+        else:  # cosine
+            denom = jnp.sqrt(qn * xn)
+            cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+            d = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
+    out_ref[:] = jnp.where(ok, d, jnp.float32(jnp.inf))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qb", "metric_name")
+)
+def _gather_distances_impl(table, ids, q, qn, qb: int, metric_name: str):
+    B, C = ids.shape
+    d = table.shape[1]
+    n_prog = B // qb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((qb, C), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (qb, C), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qb * C, d), table.dtype),
+            pltpu.SemaphoreType.DMA((_NSEM,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _gather_dist_kernel, qb=qb, c=C, metric_name=metric_name
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids.reshape(-1).astype(jnp.int32), ids.astype(jnp.int32), q, qn, table)
+
+
+def gather_distances_pallas(
+    table: jax.Array,
+    ids: jax.Array,
+    q: jax.Array,
+    metric,
+    q_norms_sq=None,
+    qb: int = 8,
+) -> jax.Array:
+    """Fused `distances(q[b], table[ids[b, c]])` -> [B, C] f32; +inf where
+    ids < 0. table dtype f32 (bf16/int8 tables go through the packed-view
+    wrapper in the search layer)."""
+    B, C = ids.shape
+    q = q.astype(jnp.float32)
+    if q_norms_sq is None:
+        q_norms_sq = jnp.sum(q * q, axis=-1)
+    qn = q_norms_sq.astype(jnp.float32)[:, None]
+    qb = min(qb, max(1, B))
+    Bp = cdiv(B, qb) * qb
+    if Bp != B:
+        ids = jnp.pad(ids, ((0, Bp - B), (0, 0)), constant_values=-1)
+        q = jnp.pad(q, ((0, Bp - B), (0, 0)))
+        qn = jnp.pad(qn, ((0, Bp - B), (0, 0)))
+    from vss_tpu.ops.distance import Metric
+
+    out = _gather_distances_impl(
+        table, ids, q, qn, qb, Metric.parse(metric).value
+    )
+    return out[:B]
