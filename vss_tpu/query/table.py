@@ -320,6 +320,36 @@ class Database:
         # from DuckDB's StorageLock; one re-entrant lock suffices for an
         # in-process engine whose heavy work happens on-device)
         self._lock = threading.RLock()
+        # write-ahead log (optional; see vss_tpu.storage.wal). Unlike the
+        # reference — whose extension-index WAL playback is broken
+        # upstream (hnsw_insert_wal.test:6) — this one actually replays.
+        self._wal = None
+        self._replaying = False
+
+    @staticmethod
+    def _wal_path_for(path: str) -> str:
+        if path.endswith(".vssdb"):
+            return path + ".wal"
+        return os.path.join(path, "wal.jsonl")
+
+    def enable_wal(self, wal_path: Optional[str] = None) -> str:
+        """Log DML to a write-ahead log; `Database.open` replays records
+        newer than the checkpoint through the index-maintaining DML path."""
+        from vss_tpu.storage.wal import WriteAheadLog
+
+        if wal_path is None:
+            if self.path is None:
+                raise BinderError(
+                    "enable_wal needs a path for an in-memory database"
+                )
+            wal_path = self._wal_path_for(self.path)
+        os.makedirs(os.path.dirname(os.path.abspath(wal_path)), exist_ok=True)
+        self._wal = WriteAheadLog(wal_path)
+        return wal_path
+
+    def _log_wal(self, record: dict) -> None:
+        if self._wal is not None and not self._replaying:
+            self._wal.append(record)
 
     # ------------------------------------------------------------ settings
     def set_setting(self, name: str, value):
@@ -464,6 +494,12 @@ class Database:
     # ------------------------------------------------------------ DML
     def insert(self, table: str, data: dict) -> np.ndarray:
         with self._lock:
+            if self._wal is not None and not self._replaying:
+                from vss_tpu.storage.wal import encode_data
+
+                self._log_wal(
+                    {"op": "insert", "table": table, "data": encode_data(data)}
+                )
             return self._insert_locked(table, data)
 
     def _insert_locked(self, table: str, data: dict) -> np.ndarray:
@@ -481,6 +517,10 @@ class Database:
 
     def delete(self, table: str, rowids: Sequence[int]) -> int:
         with self._lock:
+            self._log_wal(
+                {"op": "delete", "table": table,
+                 "rowids": [int(r) for r in rowids]}
+            )
             return self._delete_locked(table, rowids)
 
     def _delete_locked(self, table: str, rowids: Sequence[int]) -> int:
@@ -494,6 +534,14 @@ class Database:
         """UPDATE = DELETE + INSERT (the reference index contract,
         SURVEY §3.5). Atomic under the DML lock."""
         with self._lock:
+            if self._wal is not None and not self._replaying:
+                from vss_tpu.storage.wal import encode_data
+
+                self._log_wal(
+                    {"op": "update", "table": table,
+                     "rowids": [int(r) for r in rowids],
+                     "data": encode_data(data)}
+                )
             t = self.table(table)
             pos = t.positions_of_rowids(np.asarray(list(rowids), np.int64))
             pos = pos[pos >= 0]
@@ -574,6 +622,8 @@ class Database:
         if path.endswith(".vssdb"):
             self._checkpoint_blockstore(path)
             self.path = path
+            if self._wal is not None:
+                self._wal.truncate()
             return
         os.makedirs(path, exist_ok=True)
         catalog = {"tables": {}, "indexes": {}, "settings": self.settings}
@@ -598,6 +648,8 @@ class Database:
         with open(os.path.join(path, "catalog.json"), "w") as f:
             json.dump(catalog, f)
         self.path = path
+        if self._wal is not None:
+            self._wal.truncate()
 
     def _checkpoint_blockstore(self, path: str):
         import io
@@ -715,7 +767,9 @@ class Database:
         from vss_tpu.storage.serialize import load_index
 
         if path.endswith(".vssdb"):
-            return cls._open_blockstore(path)
+            db = cls._open_blockstore(path)
+            db._replay_wal()
+            return db
         with open(os.path.join(path, "catalog.json")) as f:
             catalog = json.load(f)
         db = cls(path=path)
@@ -747,4 +801,20 @@ class Database:
                         path, f"index_{name}.vss"): load_index(p)),
                     meta=meta,
                 )
+        db._replay_wal()
         return db
+
+    def _replay_wal(self) -> None:
+        """Apply DML logged after the last checkpoint, then keep logging
+        to the same file."""
+        from vss_tpu.storage.wal import WriteAheadLog
+
+        wal_path = self._wal_path_for(self.path)
+        if not os.path.exists(wal_path):
+            return
+        self._replaying = True
+        try:
+            WriteAheadLog.replay(wal_path, self)
+        finally:
+            self._replaying = False
+        self.enable_wal(wal_path)

@@ -4,6 +4,13 @@ from vss_tpu.storage.serialize import (
     load_index,
     save_index,
     serialize_index,
+    view_index,
 )
 
-__all__ = ["serialize_index", "deserialize_index", "save_index", "load_index"]
+__all__ = [
+    "serialize_index",
+    "deserialize_index",
+    "save_index",
+    "load_index",
+    "view_index",
+]

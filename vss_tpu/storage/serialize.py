@@ -141,6 +141,77 @@ def save_index(idx: HNSWIndex, path: str) -> None:
     idx.dirty = False
 
 
-def load_index(path: str) -> HNSWIndex:
+def load_index(path: str, view: bool = False) -> HNSWIndex:
+    if view:
+        return view_index(path)
     with open(path, "rb") as f:
         return deserialize_index(f)
+
+
+def view_index(path: str) -> HNSWIndex:
+    """Zero-copy host load: graph arrays are memory-mapped straight out of
+    the checkpoint file — the analog of usearch's `view()`
+    (`/root/reference/src/include/usearch/index.hpp:3276-3310`). No array
+    bytes are read (or uploaded) until an operation touches them; the OS
+    pages them in on demand. The view has no insert headroom — the first
+    DML grows (and thereby copies) the graph, exactly the copy-on-write
+    contract a mmap view implies."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != MAGIC:
+            raise ValueError(f"bad checkpoint magic {magic!r}")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen).decode())
+        base = 16 + hlen
+    if header["version"] != 1:
+        raise ValueError(f"unsupported checkpoint version {header['version']}")
+    config = HNSWConfig(**header["config"])
+    arrays = {}
+    off = base
+    for spec in header["arrays"]:
+        if spec["dtype"] == "bfloat16":
+            import ml_dtypes
+
+            dt = np.dtype(ml_dtypes.bfloat16)
+        else:
+            dt = np.dtype(spec["dtype"])
+        shape = tuple(spec["shape"])
+        count = int(np.prod(shape)) if shape else 1
+        if count == 0:
+            arrays[spec["name"]] = np.zeros(shape, dt)
+        else:
+            arrays[spec["name"]] = np.memmap(
+                path, dtype=dt, mode="r", offset=off, shape=shape
+            )
+        off += dt.itemsize * count
+
+    n = header["next_slot"]
+    u = header["upper_used"]
+    idx = HNSWIndex(config, capacity=64)
+    # the memmaps ARE the graph arrays (JAX uploads each lazily on first
+    # use); capacity == stored extent, no reserve slack
+    idx.graph = HNSWGraph(
+        vectors=arrays["vectors"],
+        adj0=arrays["adj0"],
+        upper_adj=arrays["upper_adj"],
+        upper_row=arrays["upper_row"],
+        levels=arrays["levels"],
+        valid=arrays["valid"],
+        slot_to_rowid=arrays["slot_to_rowid"],
+        entry=jnp.int32(header["entry"]),
+        max_level=jnp.int32(header["max_level"]),
+        count=jnp.int32(header["count"]),
+    )
+    idx.next_slot = n
+    idx.upper_used = u
+    idx.free_slots = [int(s) for s in np.asarray(arrays["free_slots"])]
+    idx.deleted_count = header["deleted_count"]
+    idx.vector_scale = float(header.get("vector_scale", 1.0))
+    valid = np.asarray(arrays["valid"])
+    rowids = np.asarray(arrays["slot_to_rowid"])
+    idx.rowid_to_slot = {
+        int(rowids[s]): int(s) for s in np.flatnonzero(valid)
+    }
+    idx._insert_seed = n
+    idx.dirty = False
+    return idx
