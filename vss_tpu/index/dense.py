@@ -75,6 +75,10 @@ class HNSWIndex:
         self._insert_seed = 0
         # int8 tape: global symmetric quantization scale (tape holds x/scale)
         self.vector_scale = 1.0
+        # per-graph-version caches (pivot seeding + norm tape); the first
+        # element anchors the graph pytree they were computed from
+        self._pivot_cache: Optional[tuple] = None
+        self._norms_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -93,12 +97,15 @@ class HNSWIndex:
     ) -> "HNSWIndex":
         """Bulk-build over a full vector set (the CREATE INDEX path).
 
-        method: 'wave' (batched TPU construction), 'native' (multithreaded
-        C++ host builder), or 'auto' — native for small tables where
-        device-wave dispatch overhead dominates, wave otherwise. Auto uses
-        a single builder thread so results are deterministic; explicit
-        'native' uses all cores (nondeterministic interleaving, like the
-        reference's parallel build).
+        method: 'exact' (MXU bulk construction from exact-kNN candidate
+        lists — the fastest path for a device-resident corpus, see
+        `index/exact_build.py`), 'wave' (batched incremental TPU
+        construction), 'native' (multithreaded C++ host builder), or
+        'auto' — native for small tables where device dispatch overhead
+        dominates, exact otherwise. Auto uses a single builder thread so
+        results are deterministic; explicit 'native' uses all cores
+        (nondeterministic interleaving, like the reference's parallel
+        build).
         """
         vectors = np.asarray(vectors, np.float32)
         n = vectors.shape[0]
@@ -121,13 +128,20 @@ class HNSWIndex:
             if n <= 8192 and native_available():
                 method, native_threads = "native", 1  # deterministic
             else:
-                method = "wave"
+                method = "exact"
         if method == "native":
             from vss_tpu.index.native import build_graph_native
 
             graph, upper_used = build_graph_native(
                 vectors, config, seed=seed, rowids=rowids,
                 n_threads=native_threads,
+            )
+        elif method == "exact":
+            from vss_tpu.index.exact_build import build_graph_exact
+
+            graph, upper_used = build_graph_exact(
+                vectors, config, seed=seed,
+                rowids=rowids.astype(np.int32), progress=progress,
             )
         elif method == "wave":
             graph, upper_used = build_graph_batched(
@@ -192,9 +206,12 @@ class HNSWIndex:
         # lock at all (vs. the reference's shared StorageLock,
         # hnsw_index.cpp:331-333)
         g = self.graph
+        pivot_slots, pivot_vecs = self.pivots()
         d, slots = hnsw_search(
             g, self.config, q, k, ef=ef, filter_mask=filter_mask,
             expand=expand, assume_all_valid=self.deleted_count == 0,
+            pivot_slots=pivot_slots, pivot_vecs=pivot_vecs,
+            x_norms=self.norms(),
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
@@ -207,6 +224,42 @@ class HNSWIndex:
 
     def _rescale_distances(self, d):
         return rescale_distances(d, self.vector_scale, self.config.metric)
+
+    def pivots(self, min_pivots: int = 8):
+        """(pivot_slots [P] i32, pivot_vecs [P, d]) for pivot seeding —
+        the level>=1 nodes, a geometric ~count/M sample of the corpus
+        (see `search.pivot_seeds`). Cached per graph version (DML
+        publishes a fresh pytree, so identity comparison is exact);
+        returns (None, None) for graphs too small to sample."""
+        g = self.graph
+        if self._pivot_cache is not None and self._pivot_cache[0] is g:
+            return self._pivot_cache[1], self._pivot_cache[2]
+        mask = np.asarray((g.levels >= 1) & (g.slot_to_rowid >= 0))
+        idx = np.nonzero(mask)[0]
+        if idx.size < min_pivots:
+            self._pivot_cache = (g, None, None)
+            return None, None
+        P = next_pow2(idx.size)
+        slots = np.full(P, -1, np.int32)
+        slots[: idx.size] = idx
+        slots_j = jnp.asarray(slots)
+        vecs_j = jnp.take(g.vectors, jnp.maximum(slots_j, 0), axis=0)
+        self._pivot_cache = (g, slots_j, vecs_j)
+        return slots_j, vecs_j
+
+    def norms(self):
+        """Squared-norm tape [cap] f32, cached per graph version (saves a
+        full-tape reduction on every search call)."""
+        g = self.graph
+        if self._norms_cache is not None and self._norms_cache[0] is g:
+            return self._norms_cache[1]
+        if self.metric == Metric.IP:
+            self._norms_cache = (g, None)
+            return None
+        xv = g.vectors.astype(jnp.float32)
+        n = jnp.sum(xv * xv, axis=-1)
+        self._norms_cache = (g, n)
+        return n
 
     def slot_rowid_array(self) -> np.ndarray:
         """slot -> rowid tape, host copy (filtered-search mask surface)."""

@@ -1,0 +1,439 @@
+"""MXU-native bulk construction: exact-kNN candidates + batched refine.
+
+The reference constructs its graph incrementally — every insert runs a
+beam search over the partially-built graph
+(`/root/reference/src/include/usearch/index.hpp:2693-2773` `add()`,
+`:3855-3922` `search_to_insert_`), because on a CPU that is the only way
+to avoid O(n^2) distance work. On a TPU the economics invert: the MXU
+computes a 2048x65536 distance tile in well under a millisecond, so the
+*exact* top-C neighbors of every node — the thing the insert-side beam
+search only approximates — are affordable as a handful of big matmuls.
+
+Construction therefore becomes three data-parallel passes, none of which
+touch the graph being built (no insertion order, no locks, no waves):
+
+  1. candidates: for every node, exact top-C nearest nodes by tiled
+     brute force (`lax.approx_min_k` per tile on TPU — the hardware
+     PartialReduce top-k — merged exactly across tiles),
+  2. refine: the reference's diversity heuristic (`refine_`,
+     `index.hpp:4030-4077`) applied to each node's candidate list in
+     batched form (`index/select.py`) -> forward adjacency,
+  3. backlinks: reverse edges merged under the degree cap with heuristic
+     re-selection on overflow (the `connect_new_node_` /
+     `reconnect_neighbor_nodes_` analog, `index.hpp:3655-3721`),
+     applied in node chunks.
+
+Upper levels use the same recipe on the (geometrically smaller) level
+subsets, so hierarchy semantics — level sampling, entry point, greedy
+descent routing — are identical to the wave builder's.
+
+Because the candidate lists are exact, the resulting graph is what HNSW
+construction converges toward as ef_construction -> n: recall at equal
+search effort is >= the incremental build's. Used for bulk CREATE INDEX;
+incremental inserts still use the wave path (`index/build.py`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vss_tpu.index.build import plan_wave_rows
+from vss_tpu.index.graph import (
+    HNSWConfig,
+    HNSWGraph,
+    cast_to_tape,
+    empty_graph,
+    sample_levels,
+)
+from vss_tpu.index.select import select_neighbors
+from vss_tpu.ops.distance import Metric, _epilogue
+from vss_tpu.utils import cdiv, round_up
+
+__all__ = ["build_graph_exact", "exact_knn"]
+
+_INF = float("inf")
+
+
+def _dist_tile(q, x, metric: Metric, precision):
+    """[bq, d] x [tx, d] -> [bq, tx] distances at the given matmul
+    precision (DEFAULT = bf16 MXU passes: candidate *ordering* is all
+    construction needs; exact user-facing distances are recomputed by the
+    query layer at HIGHEST, see ops/distance.py)."""
+    dots = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)
+    xn = jnp.sum(x * x, axis=-1, keepdims=True).T
+    return _epilogue(dots, qn, xn, metric)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "metric_name", "tile", "approx", "fast_matmul"),
+)
+def _knn_block(
+    q, q_ids, x, x_valid, C, metric_name, tile, approx, fast_matmul
+):
+    """Exact top-C neighbors of `q` [bq, d] over `x` [nx, d] (nx % tile
+    == 0), excluding self-matches (x row id == q_ids entry) and invalid
+    rows. Returns (dists [bq, C] ascending, ids [bq, C], -1 padded)."""
+    metric = Metric.parse(metric_name)
+    bq = q.shape[0]
+    n_tiles = x.shape[0] // tile
+    xt = x.reshape(n_tiles, tile, x.shape[1])
+    vt = x_valid.reshape(n_tiles, tile)
+    prec = (
+        jax.lax.Precision.DEFAULT if fast_matmul else jax.lax.Precision.HIGHEST
+    )
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        x_tile, v_tile, t_idx = inp
+        d = _dist_tile(q, x_tile, metric, prec)  # [bq, tile]
+        ids = t_idx * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )
+        ids = jnp.broadcast_to(ids, (bq, tile))
+        bad = ~v_tile[None, :] | (ids == q_ids[:, None])
+        d = jnp.where(bad, _INF, d)
+        if approx:
+            td, tp = jax.lax.approx_min_k(d, C, recall_target=0.98)
+        else:
+            neg, tp = jax.lax.top_k(-d, C)
+            td = -neg
+        ti = jnp.take_along_axis(ids, tp, axis=1)
+        # exact merge of the running best with this tile's winners
+        cat_d = jnp.concatenate([best_d, td], axis=1)
+        cat_i = jnp.concatenate([best_i, ti], axis=1)
+        sd, si = jax.lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
+        return (sd[:, :C], si[:, :C]), None
+
+    init = (
+        jnp.full((bq, C), _INF, jnp.float32),
+        jnp.full((bq, C), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, (xt, vt, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    return best_d, best_i
+
+
+def exact_knn(
+    vecs: jax.Array,
+    ids: jax.Array,
+    C: int,
+    metric,
+    *,
+    block: int = 2048,
+    tile: int = 65536,
+    fast_matmul: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+):
+    """Exact top-C neighbor lists for every row of `vecs` [n, d] against
+    all rows (self excluded). `ids` [n] are the global ids reported (and
+    matched for self-exclusion). Returns host-free device arrays
+    (dists [n, C], ids [n, C]).
+    """
+    from vss_tpu.utils import use_pallas  # TPU detection, test-overridable
+
+    metric = Metric.parse(metric)
+    n, d = vecs.shape
+    C = min(C, max(n - 1, 1))
+    tile = min(tile, round_up(n, 512))
+    n_pad = round_up(n, tile)
+    x = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(
+        vecs.astype(jnp.float32)
+    )
+    x_valid = (jnp.arange(n_pad) < n)
+    approx = use_pallas() and C <= tile // 8
+    out_d, out_i = [], []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        qb = x[s:e]
+        qi = jax.lax.dynamic_slice_in_dim(ids, s, e - s)
+        if e - s < block:  # jit once per (block, C) shape: pad the tail
+            qb = jnp.pad(qb, ((0, block - (e - s)), (0, 0)))
+            qi = jnp.pad(qi, (0, block - (e - s)), constant_values=-2)
+        bd, bi = _knn_block(
+            qb, qi, x, x_valid, C, metric.value, tile, approx, fast_matmul
+        )
+        out_d.append(bd[: e - s])
+        out_i.append(bi[: e - s])
+        if progress is not None:
+            progress(e, n)
+    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "cap", "chunk"), donate_argnames=("adj",)
+)
+def _refine_forward(adj, vectors, cand_d, cand_i, node_slots, config, cap, chunk):
+    """Apply the select-neighbors heuristic to every node's candidate
+    list, chunked; writes rows of `adj` (width >= cap, -1 padded)."""
+    A = cand_i.shape[0]
+    n_chunks = A // chunk
+    pad_w = adj.shape[1] - cap
+
+    def body(c, adj):
+        s0 = c * chunk
+        ci = jax.lax.dynamic_slice_in_dim(cand_i, s0, chunk)
+        cd = jax.lax.dynamic_slice_in_dim(cand_d, s0, chunk)
+        sl = jax.lax.dynamic_slice_in_dim(node_slots, s0, chunk)
+        qv = jnp.take(vectors, sl, axis=0).astype(jnp.float32)
+        chosen = select_neighbors(qv, ci, cd, vectors, cap, config.metric)
+        rows = jnp.pad(chosen, ((0, 0), (0, pad_w)), constant_values=-1)
+        return adj.at[sl].set(rows)
+
+    return jax.lax.fori_loop(0, n_chunks, body, adj)
+
+
+_INCOMING_CAP = 16  # reverse-edge fan-in accepted per target (one pass)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_rows",))
+def _group_incoming(node_slots, forward, cap_rows: int):
+    """Group reverse edges by target: returns incoming [cap_rows,
+    _INCOMING_CAP] i32 (-1 padded), where incoming[t] lists up to
+    _INCOMING_CAP sources that chose slot t as a forward neighbor.
+    One global sort of all A*m edges — the TPU-shaped replacement for
+    the reference's per-insert `reconnect_neighbor_nodes_` walks."""
+    A, m = forward.shape
+    E = A * m
+    src = jnp.repeat(node_slots, m)
+    tgt = forward.reshape(-1)
+    tgt_s = jnp.where(tgt >= 0, tgt, jnp.int32(2**31 - 1))
+    iota = jnp.arange(E, dtype=jnp.int32)
+    sorted_t, perm = jax.lax.sort_key_val(tgt_s, iota)
+    src_sorted = jnp.take(src, perm)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_t[1:] != sorted_t[:-1]]
+    )
+    first_idx = jax.lax.cummax(jnp.where(seg_start, iota, 0))
+    rank = iota - first_idx
+    ok = (sorted_t != 2**31 - 1) & (rank < _INCOMING_CAP)
+    incoming = jnp.full((cap_rows + 1, _INCOMING_CAP), -1, jnp.int32)
+    incoming = incoming.at[
+        jnp.where(ok, sorted_t, cap_rows), jnp.where(ok, rank, 0)
+    ].set(jnp.where(ok, src_sorted, -1))
+    return incoming[:cap_rows]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "cap", "chunk"), donate_argnames=("adj",)
+)
+def _merge_backlinks(
+    adj, adj_rows, vectors, incoming, node_slots, config, cap, chunk
+):
+    """Per-target merge of (existing forward links ∪ incoming reverse
+    edges) under the degree cap: plain distance-sorted append when the
+    union fits, heuristic re-selection on overflow — the analog of
+    `connect_new_node_` / `reconnect_neighbor_nodes_`
+    (`/root/reference/src/include/usearch/index.hpp:3655-3721`).
+
+    adj: the layer's adjacency array (rows indexed by `adj_rows`);
+    node_slots: the targets' slots (vector lookup); chunked fori_loop.
+    """
+    from vss_tpu.index.search import _dedupe_keep_first
+    from vss_tpu.ops.distance import gathered_distances
+
+    A = node_slots.shape[0]
+    n_chunks = A // chunk
+    pad_w = adj.shape[1] - cap
+
+    def body(c, adj):
+        s0 = c * chunk
+        rows_i = jax.lax.dynamic_slice_in_dim(adj_rows, s0, chunk)
+        sl = jax.lax.dynamic_slice_in_dim(node_slots, s0, chunk)
+        inc = jax.lax.dynamic_slice_in_dim(incoming, s0, chunk)
+        exist = jnp.take(adj, jnp.maximum(rows_i, 0), axis=0)[:, :cap]
+        cand_i = _dedupe_keep_first(jnp.concatenate([exist, inc], axis=1))
+        tv = jnp.take(vectors, sl, axis=0).astype(jnp.float32)
+        cand_d = gathered_distances(
+            tv, jnp.take(vectors, jnp.maximum(cand_i, 0), axis=0),
+            config.metric,
+        )
+        cand_d = jnp.where(cand_i >= 0, cand_d, _INF)
+        cnt = jnp.sum(cand_i >= 0, axis=1)
+        overflow = cnt > cap
+        chosen_h = select_neighbors(
+            tv, cand_i, cand_d, vectors, cap, config.metric, active=overflow
+        )
+        neg_top, pos = jax.lax.top_k(-cand_d, cap)
+        chosen_s = jnp.take_along_axis(cand_i, pos, axis=1)
+        chosen_s = jnp.where(jnp.isfinite(-neg_top), chosen_s, -1)
+        rows = jnp.where(overflow[:, None], chosen_h, chosen_s)
+        if pad_w:
+            rows = jnp.pad(rows, ((0, 0), (0, pad_w)), constant_values=-1)
+        sink = adj.shape[0] - 1
+        return adj.at[jnp.where(rows_i >= 0, rows_i, sink)].set(rows)
+
+    return jax.lax.fori_loop(0, n_chunks, body, adj)
+
+
+def _backlink_pass(
+    graph: HNSWGraph,
+    config: HNSWConfig,
+    node_slots: jax.Array,  # [A] i32 targets == sources at this level
+    adj_rows: jax.Array,  # [A] i32 rows of the layer adjacency array
+    forward: jax.Array,  # [A, m] i32 forward links (pre-backlink)
+    tape_f32: jax.Array,
+    lev: int,
+    chunk: int,
+) -> HNSWGraph:
+    adj = graph.adj0 if lev == 0 else graph.upper_adj
+    cap = config.m0 if lev == 0 else config.m
+    # incoming is indexed by SLOT; remap to the per-target list order
+    inc_by_slot = _group_incoming(node_slots, forward, graph.capacity)
+    incoming = jnp.take(inc_by_slot, node_slots, axis=0)
+    A = node_slots.shape[0]
+    chunk = min(chunk, round_up(A, 256))
+    n_chunks = cdiv(A, chunk)
+    A_pad = n_chunks * chunk
+    pad = A_pad - A
+    sink = graph.capacity - 1
+    adj = _merge_backlinks(
+        adj,
+        jnp.pad(adj_rows, (0, pad), constant_values=-1),
+        tape_f32,
+        jnp.pad(incoming, ((0, pad), (0, 0)), constant_values=-1),
+        jnp.pad(node_slots, (0, pad), constant_values=sink),
+        config,
+        cap,
+        chunk,
+    )
+    if lev == 0:
+        return dataclasses.replace(graph, adj0=adj)
+    return dataclasses.replace(graph, upper_adj=adj)
+
+
+def build_graph_exact(
+    vectors,
+    config: HNSWConfig,
+    *,
+    seed: int = 0,
+    rowids: Optional[np.ndarray] = None,
+    capacity: Optional[int] = None,
+    candidates: Optional[int] = None,
+    block: int = 2048,
+    tile: int = 65536,
+    backlink_chunk: int = 4096,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> tuple[HNSWGraph, int]:
+    """Bulk-build an HNSW graph from exact kNN candidate lists.
+
+    Returns (graph, upper_rows_used), the same contract as
+    `build_graph_batched`. Deterministic given `seed` (level sampling is
+    the only randomness; candidate generation and refine are pure).
+
+    `candidates` is C, the exact-neighbor list length refined down to the
+    degree caps (default: 2*m0 at the base layer, bounded below by m0+8).
+    """
+    vectors = np.asarray(vectors, np.float32)
+    n, d = vectors.shape
+    assert d == config.dims
+    levels = sample_levels(n, config, seed)
+    cap_needed = n + 8
+    capacity = max(capacity or 0, cap_needed)
+    urows, next_row = plan_wave_rows(levels, 0, config.max_levels)
+    upper_cap = next_row + 64 + 1
+    graph = empty_graph(config, capacity, upper_cap)
+    if rowids is None:
+        rowids = np.arange(n, dtype=np.int32)
+    rowids = np.asarray(rowids, np.int64).astype(np.int32)
+    if n == 0:
+        return graph, 0
+
+    entry_slot = int(np.argmax(levels))
+    xv = jnp.asarray(vectors)
+    slots = jnp.arange(n, dtype=jnp.int32)
+    graph = dataclasses.replace(
+        graph,
+        vectors=graph.vectors.at[:n].set(cast_to_tape(xv, config)),
+        levels=graph.levels.at[:n].set(jnp.asarray(levels)),
+        upper_row=graph.upper_row.at[:n].set(jnp.asarray(urows[:n])),
+        valid=graph.valid.at[:n].set(True),
+        slot_to_rowid=graph.slot_to_rowid.at[:n].set(jnp.asarray(rowids)),
+        entry=jnp.int32(entry_slot),
+        max_level=jnp.int32(int(levels.max())),
+        count=jnp.int32(n),
+    )
+    tape_f32 = graph.vectors.astype(jnp.float32)
+    if config.storage_dtype != "f32":
+        # refine/backlinks score against what search will see
+        xv = tape_f32[:n]
+
+    C0 = candidates or max(2 * config.m0, config.m0 + 8)
+
+    done_units = [0]
+    # progress weighting: candidate pass ~ half the work
+    total_units = 2 * n
+
+    def knn_prog(done, total):
+        if progress is not None:
+            progress(min(done_units[0] + done // 2, total_units), total_units)
+
+    # ---- base layer
+    cand_d, cand_i = exact_knn(
+        xv, slots, C0, config.metric, block=block, tile=tile,
+        progress=knn_prog,
+    )
+    done_units[0] = n
+    refine_chunk = min(4096, round_up(n, 256))
+    A_pad = round_up(n, refine_chunk)
+    pad = A_pad - n
+    sink = graph.capacity - 1
+    cand_d_p = jnp.pad(cand_d, ((0, pad), (0, 0)), constant_values=_INF)
+    cand_i_p = jnp.pad(cand_i, ((0, pad), (0, 0)), constant_values=-1)
+    slots_p = jnp.pad(slots, (0, pad), constant_values=sink)
+    adj0 = _refine_forward(
+        graph.adj0, tape_f32, cand_d_p, cand_i_p, slots_p, config,
+        config.m0, refine_chunk,
+    )
+    graph = dataclasses.replace(graph, adj0=adj0)
+    forward0 = jnp.take(graph.adj0, slots, axis=0)
+    graph = _backlink_pass(
+        graph, config, slots, slots, forward0, tape_f32, 0, backlink_chunk
+    )
+    done_units[0] = int(1.5 * n)
+    if progress is not None:
+        progress(done_units[0], total_units)
+
+    # ---- upper levels
+    for lev in range(1, int(levels.max()) + 1):
+        member = np.where(levels >= lev)[0]
+        if member.size <= 1:
+            break
+        mslots = jnp.asarray(member.astype(np.int32))
+        sub = jnp.take(xv, mslots, axis=0)
+        Cu = min(2 * config.m, member.size - 1)
+        sd, si_local = exact_knn(
+            sub, jnp.arange(member.size, dtype=jnp.int32), Cu,
+            config.metric,
+            block=min(block, round_up(member.size, 256)), tile=tile,
+        )
+        si = jnp.where(si_local >= 0, jnp.take(mslots, jnp.maximum(si_local, 0)), -1)
+        qv = jnp.take(tape_f32, mslots, axis=0)
+        chosen = select_neighbors(qv, si, sd, tape_f32, config.m, config.metric)
+        rows_idx = jnp.asarray(urows[member, lev - 1])
+        upper_adj = graph.upper_adj.at[rows_idx].set(chosen)
+        graph = dataclasses.replace(graph, upper_adj=upper_adj)
+        graph = _backlink_pass(
+            graph, config, mslots, rows_idx, chosen, tape_f32, lev,
+            min(backlink_chunk, 4096),
+        )
+
+    # ---- connectivity repair: a pure-kNN edge set can leave whole
+    # clusters unreachable from the entry (see index/repair.py)
+    from vss_tpu.index.repair import repair_connectivity
+
+    graph, _ = repair_connectivity(graph, config)
+    if progress is not None:
+        progress(total_units, total_units)
+    return graph, next_row

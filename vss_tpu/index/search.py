@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from vss_tpu.index.graph import HNSWConfig, HNSWGraph
 from vss_tpu.ops.distance import Metric, gathered_distances
 
-__all__ = ["hnsw_search", "greedy_descent"]
+__all__ = ["hnsw_search", "greedy_descent", "pivot_seeds"]
 
 _INF = float("inf")  # python scalar: no backend init at import
 
@@ -206,14 +206,22 @@ def beam_search_base(
         max_iters = 4 + (2 * ef) // E
     hist_len = max_iters * E if use_history else 1
 
-    cand_d = jnp.full((B, ef), _INF).at[:, 0].set(seed_d)
-    cand_i = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(seeds)
+    # seeds may be [B] (single seed, the descent path) or [B, S]
+    # (multi-seed, the pivot path) — both fill the head of the pool
+    if seeds.ndim == 1:
+        seeds = seeds[:, None]
+        seed_d = seed_d[:, None]
+    S = seeds.shape[1]
+    cand_d = jnp.full((B, ef), _INF).at[:, :S].set(seed_d)
+    cand_i = jnp.full((B, ef), -1, jnp.int32).at[:, :S].set(seeds)
     expanded = jnp.zeros((B, ef), jnp.bool_)
-    seed_ok = jnp.take(allow, jnp.maximum(seeds, 0)) & (seeds >= 0)
-    res_d = jnp.full((B, ef), _INF).at[:, 0].set(jnp.where(seed_ok, seed_d, _INF))
+    seed_ok = (jnp.take(allow, jnp.maximum(seeds, 0)) & (seeds >= 0))
+    res_d = jnp.full((B, ef), _INF).at[:, :S].set(
+        jnp.where(seed_ok, seed_d, _INF)
+    )
     res_i = (
         jnp.full((B, ef), -1, jnp.int32)
-        .at[:, 0]
+        .at[:, :S]
         .set(jnp.where(seed_ok, seeds, -1))
     )
     hist = jnp.full((B, hist_len), -1, jnp.int32)
@@ -355,29 +363,86 @@ def beam_search_base(
     return res_d, res_i, cand_i, (it, evals)
 
 
+def pivot_seeds(
+    graph: HNSWGraph,
+    config: HNSWConfig,
+    q: jax.Array,
+    pivot_slots: jax.Array,  # [P] i32
+    pivot_vecs: jax.Array,  # [P, d] densely packed pivot vectors
+    n_seeds: int,
+    q_norms: Optional[jax.Array] = None,
+):
+    """Seed the beam by exact scan over a pivot sample — the TPU-native
+    replacement for the reference's greedy upper-level descent
+    (`search_for_one_`, `index.hpp:3809-3847`). One [B, P] MXU tile
+    against the (geometric, ~n/M) pivot sample ranks every coarse region
+    at once; the top `n_seeds` pivots per query seed the base beam. No
+    sequential hops, no upper-level gathers, and multi-seeding makes
+    search robust to local-only edge sets (see index/exact_build.py)."""
+    from vss_tpu.ops.distance import _epilogue
+
+    pv = pivot_vecs.astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        q, pv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qn = (
+        jnp.sum(q * q, axis=-1, keepdims=True)
+        if q_norms is None else q_norms[:, None]
+    )
+    pn = jnp.sum(pv * pv, axis=-1, keepdims=True).T
+    d_qp = _epilogue(dots, qn, pn, Metric.parse(config.metric))
+    d_qp = jnp.where((pivot_slots >= 0)[None, :], d_qp, _INF)
+    n_seeds = min(n_seeds, pivot_slots.shape[0])
+    from vss_tpu.utils import use_pallas
+
+    if use_pallas() and pivot_slots.shape[0] >= 8 * n_seeds:
+        sd, sp = jax.lax.approx_min_k(d_qp, n_seeds)
+    else:
+        neg, sp = jax.lax.top_k(-d_qp, n_seeds)
+        sd = -neg
+    seeds = jnp.where(
+        jnp.isfinite(sd), jnp.take(pivot_slots, sp), -1
+    )
+    return seeds, sd
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "config", "k", "ef", "expand", "max_iters", "dual_pool",
-        "use_history", "fused",
+        "use_history", "fused", "n_seeds",
     ),
 )
 def _hnsw_search_impl(
     graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
-    use_history=True, fused=False,
+    use_history=True, fused=False, pivot_slots=None, pivot_vecs=None,
+    n_seeds=4, x_norms=None,
 ):
     metric = Metric.parse(config.metric)
-    x_norms = q_norms = None
+    q_norms = None
     if metric in (Metric.L2SQ, Metric.COSINE):
         q_norms = jnp.sum(q * q, axis=-1)
-        if not fused:
+        if x_norms is None and not fused:
             # one pass over the tape, reused by every beam iteration (the
             # fused kernel computes row norms in VMEM instead)
             xv = graph.vectors.astype(jnp.float32)
             x_norms = jnp.sum(xv * xv, axis=-1)
-    seeds, seed_d = greedy_descent(
-        graph, config, q, x_norms=x_norms, q_norms=q_norms
-    )
+    if pivot_slots is not None:
+        seeds, _ = pivot_seeds(
+            graph, config, q, pivot_slots, pivot_vecs, n_seeds, q_norms
+        )
+        # re-score seeds at full precision so pool/result distances are
+        # consistent with the beam's own evaluations
+        seed_d = gathered_distances(
+            q, _gather_vectors(graph.vectors, seeds), config.metric,
+            _gathered_norms(x_norms, seeds), q_norms,
+        )
+        seed_d = jnp.where(seeds >= 0, seed_d, _INF)
+    else:
+        seeds, seed_d = greedy_descent(
+            graph, config, q, x_norms=x_norms, q_norms=q_norms
+        )
     res_d, res_i, _, (iters, evals) = beam_search_base(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
         x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
@@ -405,6 +470,10 @@ def hnsw_search(
     assume_all_valid: bool = False,
     use_history: bool = True,
     fused: Optional[bool] = None,
+    pivot_slots: Optional[jax.Array] = None,
+    pivot_vecs: Optional[jax.Array] = None,
+    n_seeds: int = 4,
+    x_norms: Optional[jax.Array] = None,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -415,6 +484,11 @@ def hnsw_search(
     usearch's `filtered_search`); tombstoned slots are always excluded from
     results but still routable.
 
+    `pivot_slots`/`pivot_vecs` switch seeding from greedy descent to the
+    pivot-scan path (`pivot_seeds`), with `n_seeds` beam seeds per query.
+    `x_norms` optionally passes the precomputed squared-norm tape (saves
+    one full-tape reduction per call; see HNSWIndex.search).
+
     with_stats=True additionally returns {"iterations", "distance_evals"}
     for the batch — the counters the reference computes per thread context
     and then discards (SURVEY §5.1); we surface them.
@@ -422,6 +496,7 @@ def hnsw_search(
     if ef is None:
         ef = config.ef_search
     ef = max(ef, k)
+    n_seeds = min(n_seeds, ef)
     allow = graph.valid
     if filter_mask is not None:
         allow = allow & filter_mask
@@ -432,7 +507,8 @@ def hnsw_search(
         fused = _default_fused(graph)
     d, i, iters, evals = _hnsw_search_impl(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
-        max_iters, dual_pool, use_history, fused,
+        max_iters, dual_pool, use_history, fused, pivot_slots,
+        pivot_vecs, n_seeds, x_norms,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}
