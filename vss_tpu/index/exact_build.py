@@ -75,54 +75,78 @@ def _dist_tile(q, x, metric: Metric, precision):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("C", "metric_name", "tile", "approx", "fast_matmul"),
+    static_argnames=(
+        "C", "metric_name", "tile", "block", "approx", "fast_matmul"
+    ),
 )
-def _knn_block(
-    q, q_ids, x, x_valid, C, metric_name, tile, approx, fast_matmul
+def _knn_all(
+    q_pad, q_ids, x, x_valid, C, metric_name, tile, block, approx,
+    fast_matmul,
 ):
-    """Exact top-C neighbors of `q` [bq, d] over `x` [nx, d] (nx % tile
-    == 0), excluding self-matches (x row id == q_ids entry) and invalid
-    rows. Returns (dists [bq, C] ascending, ids [bq, C], -1 padded)."""
+    """Exact top-C neighbors of every row of `q_pad` [nq_pad, d]
+    (nq_pad % block == 0) over `x` [nx_pad, d] (nx_pad % tile == 0),
+    excluding self-matches (x row id == q_ids entry, pad ids < 0 never
+    match) and invalid x rows. The whole (query-block x db-tile) sweep
+    runs as ONE device program — eager per-block dispatch costs ~100ms
+    each through a tunneled device, which would dominate the matmuls.
+    Returns (dists [nq_pad, C] ascending, ids [nq_pad, C], -1 padded)."""
     metric = Metric.parse(metric_name)
-    bq = q.shape[0]
     n_tiles = x.shape[0] // tile
+    n_blocks = q_pad.shape[0] // block
     xt = x.reshape(n_tiles, tile, x.shape[1])
     vt = x_valid.reshape(n_tiles, tile)
     prec = (
         jax.lax.Precision.DEFAULT if fast_matmul else jax.lax.Precision.HIGHEST
     )
 
-    def step(carry, inp):
-        best_d, best_i = carry
-        x_tile, v_tile, t_idx = inp
-        d = _dist_tile(q, x_tile, metric, prec)  # [bq, tile]
-        ids = t_idx * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile), 1
-        )
-        ids = jnp.broadcast_to(ids, (bq, tile))
-        bad = ~v_tile[None, :] | (ids == q_ids[:, None])
-        d = jnp.where(bad, _INF, d)
-        if approx:
-            td, tp = jax.lax.approx_min_k(d, C, recall_target=0.98)
-        else:
-            neg, tp = jax.lax.top_k(-d, C)
-            td = -neg
-        ti = jnp.take_along_axis(ids, tp, axis=1)
-        # exact merge of the running best with this tile's winners
-        cat_d = jnp.concatenate([best_d, td], axis=1)
-        cat_i = jnp.concatenate([best_i, ti], axis=1)
-        sd, si = jax.lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
-        return (sd[:, :C], si[:, :C]), None
+    def one_block(q, ids_b):
+        def step(carry, inp):
+            best_d, best_i = carry
+            x_tile, v_tile, t_idx = inp
+            d = _dist_tile(q, x_tile, metric, prec)  # [block, tile]
+            ids = t_idx * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile), 1
+            )
+            ids = jnp.broadcast_to(ids, (block, tile))
+            bad = ~v_tile[None, :] | (ids == ids_b[:, None])
+            d = jnp.where(bad, _INF, d)
+            if approx:
+                td, tp = jax.lax.approx_min_k(d, C, recall_target=0.98)
+            else:
+                neg, tp = jax.lax.top_k(-d, C)
+                td = -neg
+            ti = jnp.take_along_axis(ids, tp, axis=1)
+            # exact merge of the running best with this tile's winners
+            cat_d = jnp.concatenate([best_d, td], axis=1)
+            cat_i = jnp.concatenate([best_i, ti], axis=1)
+            sd, si = jax.lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
+            return (sd[:, :C], si[:, :C]), None
 
-    init = (
-        jnp.full((bq, C), _INF, jnp.float32),
-        jnp.full((bq, C), -1, jnp.int32),
+        init = (
+            jnp.full((block, C), _INF, jnp.float32),
+            jnp.full((block, C), -1, jnp.int32),
+        )
+        (bd, bi), _ = jax.lax.scan(
+            step, init, (xt, vt, jnp.arange(n_tiles, dtype=jnp.int32))
+        )
+        return bd, jnp.where(jnp.isfinite(bd), bi, -1)
+
+    def body(b, out):
+        out_d, out_i = out
+        s0 = b * block
+        qb = jax.lax.dynamic_slice_in_dim(q_pad, s0, block)
+        ib = jax.lax.dynamic_slice_in_dim(q_ids, s0, block)
+        bd, bi = one_block(qb, ib)
+        return (
+            jax.lax.dynamic_update_slice(out_d, bd, (s0, 0)),
+            jax.lax.dynamic_update_slice(out_i, bi, (s0, 0)),
+        )
+
+    out = (
+        jnp.full((q_pad.shape[0], C), _INF, jnp.float32),
+        jnp.full((q_pad.shape[0], C), -1, jnp.int32),
     )
-    (best_d, best_i), _ = jax.lax.scan(
-        step, init, (xt, vt, jnp.arange(n_tiles, dtype=jnp.int32))
-    )
-    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
-    return best_d, best_i
+    return jax.lax.fori_loop(0, n_blocks, body, out)
 
 
 def exact_knn(
@@ -147,28 +171,56 @@ def exact_knn(
     n, d = vecs.shape
     C = min(C, max(n - 1, 1))
     tile = min(tile, round_up(n, 512))
+    block = min(block, round_up(n, 256))
     n_pad = round_up(n, tile)
     x = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(
         vecs.astype(jnp.float32)
     )
     x_valid = (jnp.arange(n_pad) < n)
+    nq_pad = round_up(n, block)
+    if nq_pad <= n_pad:
+        q_pad = x[:nq_pad]
+    else:
+        q_pad = jnp.zeros((nq_pad, d), jnp.float32).at[:n].set(x[:n])
+    q_ids = jnp.full((nq_pad,), -2, jnp.int32).at[:n].set(
+        ids.astype(jnp.int32)
+    )
     approx = use_pallas() and C <= tile // 8
-    out_d, out_i = [], []
-    for s in range(0, n, block):
-        e = min(s + block, n)
-        qb = x[s:e]
-        qi = jax.lax.dynamic_slice_in_dim(ids, s, e - s)
-        if e - s < block:  # jit once per (block, C) shape: pad the tail
-            qb = jnp.pad(qb, ((0, block - (e - s)), (0, 0)))
-            qi = jnp.pad(qi, (0, block - (e - s)), constant_values=-2)
-        bd, bi = _knn_block(
-            qb, qi, x, x_valid, C, metric.value, tile, approx, fast_matmul
+    if progress is not None:
+        progress(0, n)
+    # Chunk the query axis eagerly: one fori program over ALL blocks runs
+    # ~3x slower than a stream of medium-sized programs (measured at 1M —
+    # XLA pipelines consecutive dispatches but serializes a monolithic
+    # loop), while per-2048-block eager dispatch pays ~100ms relay
+    # latency per op at small n. 16k-query programs are the sweet spot.
+    eager_chunk = max(block, min(8 * block, nq_pad))
+    if nq_pad <= eager_chunk:
+        out_d, out_i = _knn_all(
+            q_pad, q_ids, x, x_valid, C, metric.value, tile, block,
+            approx, fast_matmul,
         )
-        out_d.append(bd[: e - s])
-        out_i.append(bi[: e - s])
-        if progress is not None:
-            progress(e, n)
-    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+    else:
+        parts_d, parts_i = [], []
+        for s in range(0, nq_pad, eager_chunk):
+            e = min(s + eager_chunk, nq_pad)
+            qc = q_pad[s:e]
+            ic = q_ids[s:e]
+            if e - s < eager_chunk:
+                qc = jnp.pad(qc, ((0, eager_chunk - (e - s)), (0, 0)))
+                ic = jnp.pad(ic, (0, eager_chunk - (e - s)), constant_values=-2)
+            od, oi = _knn_all(
+                qc, ic, x, x_valid, C, metric.value, tile, block, approx,
+                fast_matmul,
+            )
+            parts_d.append(od[: e - s])
+            parts_i.append(oi[: e - s])
+            if progress is not None:
+                progress(min(e, n), n)
+        out_d = jnp.concatenate(parts_d)
+        out_i = jnp.concatenate(parts_i)
+    if progress is not None:
+        progress(n, n)
+    return out_d[:n], out_i[:n]
 
 
 @functools.partial(
@@ -192,6 +244,18 @@ def _refine_forward(adj, vectors, cand_d, cand_i, node_slots, config, cap, chunk
         return adj.at[sl].set(rows)
 
     return jax.lax.fori_loop(0, n_chunks, body, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _upper_select(sd, si_local, mslots, tape_f32, config):
+    """Map an upper level's subset-local kNN lists to global slots and
+    run the refine heuristic — one program per level (eager op-by-op
+    dispatch through a tunneled device costs ~100ms/op)."""
+    si = jnp.where(
+        si_local >= 0, jnp.take(mslots, jnp.maximum(si_local, 0)), -1
+    )
+    qv = jnp.take(tape_f32, mslots, axis=0)
+    return select_neighbors(qv, si, sd, tape_f32, config.m, config.metric)
 
 
 _INCOMING_CAP = 16  # reverse-edge fan-in accepted per target (one pass)
@@ -350,6 +414,22 @@ def build_graph_exact(
     if n == 0:
         return graph, 0
 
+    import os
+    import sys
+    import time as _time
+
+    _dbg = os.environ.get("VSS_EXACT_DEBUG") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label, *arrs):
+        if _dbg:
+            for a in arrs:
+                jax.block_until_ready(a)
+            print(
+                f"[exact_build] {label}: {_time.perf_counter() - _t0:.1f}s",
+                file=sys.stderr, flush=True,
+            )
+
     entry_slot = int(np.argmax(levels))
     xv = jnp.asarray(vectors)
     slots = jnp.arange(n, dtype=jnp.int32)
@@ -384,6 +464,7 @@ def build_graph_exact(
         xv, slots, C0, config.metric, block=block, tile=tile,
         progress=knn_prog,
     )
+    _mark("candidates", cand_i)
     done_units[0] = n
     refine_chunk = min(4096, round_up(n, 256))
     A_pad = round_up(n, refine_chunk)
@@ -397,10 +478,12 @@ def build_graph_exact(
         config.m0, refine_chunk,
     )
     graph = dataclasses.replace(graph, adj0=adj0)
+    _mark("refine", graph.adj0)
     forward0 = jnp.take(graph.adj0, slots, axis=0)
     graph = _backlink_pass(
         graph, config, slots, slots, forward0, tape_f32, 0, backlink_chunk
     )
+    _mark("backlinks", graph.adj0)
     done_units[0] = int(1.5 * n)
     if progress is not None:
         progress(done_units[0], total_units)
@@ -418,9 +501,9 @@ def build_graph_exact(
             config.metric,
             block=min(block, round_up(member.size, 256)), tile=tile,
         )
-        si = jnp.where(si_local >= 0, jnp.take(mslots, jnp.maximum(si_local, 0)), -1)
-        qv = jnp.take(tape_f32, mslots, axis=0)
-        chosen = select_neighbors(qv, si, sd, tape_f32, config.m, config.metric)
+        _mark(f"level {lev} knn ({member.size})", si_local)
+        chosen = _upper_select(sd, si_local, mslots, tape_f32, config)
+        _mark(f"level {lev} select", chosen)
         rows_idx = jnp.asarray(urows[member, lev - 1])
         upper_adj = graph.upper_adj.at[rows_idx].set(chosen)
         graph = dataclasses.replace(graph, upper_adj=upper_adj)
@@ -428,12 +511,15 @@ def build_graph_exact(
             graph, config, mslots, rows_idx, chosen, tape_f32, lev,
             min(backlink_chunk, 4096),
         )
+        _mark(f"level {lev} backlinks", graph.upper_adj)
 
+    _mark("upper levels", graph.upper_adj)
     # ---- connectivity repair: a pure-kNN edge set can leave whole
     # clusters unreachable from the entry (see index/repair.py)
     from vss_tpu.index.repair import repair_connectivity
 
     graph, _ = repair_connectivity(graph, config)
+    _mark("repair", graph.adj0)
     if progress is not None:
         progress(total_units, total_units)
     return graph, next_row

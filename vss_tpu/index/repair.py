@@ -71,38 +71,59 @@ def reachable_mask(graph: HNSWGraph, max_sweeps: int = 64) -> jax.Array:
     return _reachable_impl(graph.adj0, graph.entry, occupied, max_sweeps)
 
 
+def _bfs_host(adj: np.ndarray, seeds: np.ndarray, reached: np.ndarray):
+    """Frontier BFS over the forward adjacency, in place on `reached`.
+    numpy is the right engine for this: the work is O(E) pointer chasing
+    with data-dependent frontiers — the one shape the TPU's scatter units
+    handle badly (a device-side sweep formulation measured ~170s at 1M
+    where this takes well under a second)."""
+    frontier = seeds[~reached[seeds]] if seeds.size else seeds
+    reached[frontier] = True
+    while frontier.size:
+        nxt = adj[frontier].reshape(-1)
+        nxt = nxt[nxt >= 0]
+        nxt = np.unique(nxt)
+        nxt = nxt[~reached[nxt]]
+        reached[nxt] = True
+        frontier = nxt
+
+
 def repair_connectivity(
     graph: HNSWGraph,
     config: HNSWConfig,
     max_rounds: int = 8,
-    max_sweeps: int = 64,
     max_bridges_per_round: int = 16384,
     query_chunk: int = 4096,
 ) -> tuple[HNSWGraph, int]:
     """Bridge unreachable nodes into the entry component.
 
-    Returns (graph, n_bridged). Each round: recompute reachability, pick
-    up to `max_bridges_per_round` unreachable nodes (an evenly-strided
-    sample when there are more — one bridge per disconnected component
+    Returns (graph, n_bridged). The adjacency is pulled to the host once
+    and reachability runs as frontier BFS there (`_bfs_host`); only the
+    nearest-reachable-node scans run on device. Each round: pick up to
+    `max_bridges_per_round` unreachable nodes (an evenly-strided sample
+    when there are more — one bridge per disconnected component
     suffices, because intra-component edges spread reachability to the
-    rest on the next sweep), find each one's nearest reachable node by
-    masked exact scan (query-chunked), and write a bidirectional bridge
-    into slot M0-1 of both adjacency rows. Reverse bridges into one
-    popular target overwrite each other (last write wins) — the
-    survivors anchor their components and the next round bridges
-    whatever is still dark.
+    rest), find each one's nearest reachable node by masked exact scan
+    (query-chunked), and write a bidirectional bridge into the tail
+    adjacency slots of both endpoints. The BFS then RESUMES from the
+    newly bridged nodes instead of restarting.
     """
+    entry = int(np.asarray(graph.entry))
+    if entry < 0:
+        return graph, 0
+    adj = np.asarray(graph.adj0).copy()
+    occupied = np.asarray(graph.slot_to_rowid >= 0)
+    reached = np.zeros(adj.shape[0], bool)
+    _bfs_host(adj, np.asarray([entry]), reached)
+    reached &= occupied
     total = 0
-    tape = graph.vectors
+    tape_f32 = graph.vectors.astype(jnp.float32)
+    last = config.m0 - 1
+    spread = min(4, config.m0)
     for _ in range(max_rounds):
-        reached = reachable_mask(graph, max_sweeps)
-        occupied = graph.slot_to_rowid >= 0
-        dark = np.asarray(occupied & ~reached)
-        idx = np.nonzero(dark)[0]
-        if idx.size == 0:
+        idx = np.nonzero(occupied & ~reached)[0]
+        if idx.size == 0 or not reached.any():
             break
-        if not bool(np.asarray(jnp.any(reached))):
-            break  # empty graph / no entry
         if idx.size > max_bridges_per_round:
             stride = idx.size / max_bridges_per_round
             idx = idx[(np.arange(max_bridges_per_round) * stride).astype(np.int64)]
@@ -110,28 +131,29 @@ def repair_connectivity(
         bucket = round_up(idx.size, min(query_chunk, 256))
         up = np.full(bucket, int(idx[0]), np.int32)
         up[: idx.size] = idx
-        u_slots = jnp.asarray(up)
-        tape_f32 = tape.astype(jnp.float32)
+        reached_j = jnp.asarray(reached)
         near_parts = []
         for s in range(0, bucket, query_chunk):
-            chunk_slots = u_slots[s : s + query_chunk]
-            u_vecs = jnp.take(tape_f32, chunk_slots, axis=0)
+            u_vecs = jnp.take(tape_f32, jnp.asarray(up[s : s + query_chunk]), axis=0)
             _, near_c = bruteforce_topk(
-                u_vecs, tape_f32, 1, config.metric, valid_mask=reached
+                u_vecs, tape_f32, 1, config.metric, valid_mask=reached_j
             )
-            near_parts.append(near_c[:, 0])
-        r_slots = jnp.concatenate(near_parts) if len(near_parts) > 1 else near_parts[0]
-        live = (jnp.arange(bucket) < idx.size) & (r_slots >= 0)
-        sink = graph.capacity - 1
-        u_w = jnp.where(live, u_slots, sink)
-        r_w = jnp.where(live, r_slots, sink)
-        last = config.m0 - 1
-        adj0 = graph.adj0.at[u_w, last].set(jnp.where(live, r_slots, -1))
+            near_parts.append(np.asarray(near_c[:, 0]))
+        r = np.concatenate(near_parts)[: idx.size]
+        u = up[: idx.size]
+        live = r >= 0
+        u, r = u[live], r[live]
+        if u.size == 0:
+            break
+        adj[u, last] = r
         # spread reverse bridges over the last few slots: many dark nodes
-        # often share one nearest anchor, and distinct columns let up to
-        # 4 of their bridges survive the scatter instead of 1
-        r_col = last - (u_slots % jnp.int32(min(4, config.m0)))
-        adj0 = adj0.at[r_w, r_col].set(jnp.where(live, u_slots, -1))
-        graph = dataclasses.replace(graph, adj0=adj0)
-        total += int(idx.size)
+        # often share one nearest anchor, and distinct columns let
+        # several of their bridges survive instead of one
+        adj[r, last - (u % spread)] = u
+        # the reverse bridge r -> u makes every u reachable; resume BFS
+        _bfs_host(adj, u.astype(np.int64), reached)
+        reached &= occupied
+        total += int(u.size)
+    if total:
+        graph = dataclasses.replace(graph, adj0=jnp.asarray(adj))
     return graph, total

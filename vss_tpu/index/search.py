@@ -138,6 +138,65 @@ def greedy_descent(
     return cur, cur_d
 
 
+def _merge_sorted(a_ops, b_ops, num_out: int):
+    """Merge two per-row-sorted-ascending operand tuples into the first
+    `num_out` columns of their sorted union, via one bitonic-merge
+    network — ~2x cheaper than re-sorting the concatenation, which is
+    what a beam iteration otherwise pays to fold new candidates into its
+    (already sorted) pool. a_ops/b_ops: tuples of [B, na]/[B, nb] arrays
+    whose first element is the f32 sort key. Ties resolve by network
+    position (not stable)."""
+    a_d = a_ops[0]
+    b_d = b_ops[0]
+    B, na = a_d.shape
+    nb = b_d.shape[1]
+    n = na + nb
+    pow2 = 1 << (n - 1).bit_length()
+    pad = pow2 - n
+    ops = []
+    for a, b in zip(a_ops, b_ops):
+        fill = _INF if a.dtype == jnp.float32 else -1
+        parts = [a, b[:, ::-1]]
+        if pad:
+            # pad inside the REVERSED b half: a ++ reverse(b ++ inf_pad)
+            parts = [a, jnp.full((B, pad), fill, a.dtype), b[:, ::-1]]
+        ops.append(jnp.concatenate(parts, axis=1))
+    step = pow2 // 2
+    while step >= 1:
+        halves = [o.reshape(B, -1, 2, step) for o in ops]
+        lo_d, hi_d = halves[0][:, :, 0], halves[0][:, :, 1]
+        swap = lo_d > hi_d
+        out = []
+        for h in halves:
+            lo, hi = h[:, :, 0], h[:, :, 1]
+            nlo = jnp.where(swap, hi, lo)
+            nhi = jnp.where(swap, lo, hi)
+            out.append(
+                jnp.stack([nlo, nhi], axis=2).reshape(B, -1)
+            )
+        ops = out
+        step //= 2
+    return tuple(o[:, :num_out] for o in ops)
+
+
+def _dedupe_across_groups(neigh: jax.Array, E: int, m0: int) -> jax.Array:
+    """neigh [B, E*m0], the concatenation of E selected nodes' neighbor
+    lists: mark ids already present in an earlier group as -1. For the
+    small E used in search this is E*(E-1)/2 block compares — far cheaper
+    than the sort+argsort dedupe (`_dedupe_keep_first`)."""
+    if E == 1:
+        return neigh
+    B = neigh.shape[0]
+    g = neigh.reshape(B, E, m0)
+    cols = [g[:, 0]]
+    for j in range(1, E):
+        prior = g[:, :j].reshape(B, j * m0)
+        cur = g[:, j]
+        dup = (cur[:, :, None] == prior[:, None, :]).any(axis=2)
+        cols.append(jnp.where(dup, -1, cur))
+    return jnp.concatenate(cols, axis=1)
+
+
 def _dedupe_keep_first(ids: jax.Array) -> jax.Array:
     """Per-row: replace duplicate ids (keeping first occurrence) with -1."""
     B, C = ids.shape
@@ -224,6 +283,15 @@ def beam_search_base(
         .at[:, :S]
         .set(jnp.where(seed_ok, seeds, -1))
     )
+    if S > 1:
+        # pools are kept sorted ascending (the per-iteration merge relies
+        # on it); multi-seed heads arrive in approx order — sort once
+        cand_d, cand_i = jax.lax.sort(
+            (cand_d, cand_i), dimension=1, num_keys=1, is_stable=True
+        )
+        res_d, res_i = jax.lax.sort(
+            (res_d, res_i), dimension=1, num_keys=1, is_stable=True
+        )
     hist = jnp.full((B, hist_len), -1, jnp.int32)
 
     def neighbors_of(ids):  # ids [B, E] -> [B, E*m0]
@@ -286,8 +354,8 @@ def beam_search_base(
         dup = (neigh[:, :, None] == known[:, None, :]).any(axis=2)
         neigh = jnp.where(dup | (neigh < 0), -1, neigh)
         if E > 1:
-            neigh = _dedupe_keep_first(jnp.where(neigh < 0, -1, neigh))
-            # -1 pads collide in dedupe; restore them as -1 (they already are)
+            # cross-group block compares beat sort-based dedupe at small E
+            neigh = _dedupe_across_groups(neigh, E, m0)
         if fused:
             # fused Pallas gather+score: sentinel ids (dups, padding,
             # finished queries) issue no DMA and cost nothing
@@ -304,36 +372,31 @@ def beam_search_base(
             nd = jnp.where(neigh >= 0, nd, _INF)
         evals = evals + jnp.sum((neigh >= 0).astype(jnp.int32))
 
-        # merge into candidate pool (keep expansion flags aligned). A full
-        # multi-operand lax.sort is ~2.3x faster than lax.top_k at these
-        # widths on TPU (measured), and stability keeps pool-first tie
-        # order, matching the previous top_k behavior.
-        cat_d = jnp.concatenate([cand_d, nd], axis=1)
-        cat_i = jnp.concatenate([cand_i, neigh], axis=1)
-        cat_e = jnp.concatenate(
-            [expanded, jnp.zeros_like(nd, dtype=jnp.bool_)], axis=1
-        ).astype(jnp.int32)
-        sd, si, se = jax.lax.sort(
-            (cat_d, cat_i, cat_e), dimension=1, num_keys=1, is_stable=True
+        # fold new candidates into the (sorted) pool: one narrow sort of
+        # the new batch + a bitonic merge — ~2x cheaper than re-sorting
+        # the full concatenation each iteration
+        nd_s, ni_s = jax.lax.sort(
+            (nd, neigh), dimension=1, num_keys=1, is_stable=True
         )
-        new_cand_d = sd[:, :ef]
-        new_cand_i = si[:, :ef]
-        new_expanded = se[:, :ef].astype(jnp.bool_)
+        new_cand_d, new_cand_i, new_cand_e = _merge_sorted(
+            (cand_d, cand_i, expanded.astype(jnp.int32)),
+            (nd_s, ni_s, jnp.zeros_like(ni_s)),
+            ef,
+        )
+        new_expanded = new_cand_e.astype(jnp.bool_)
 
         # merge admissible nodes into result pool (dual-pool mode only —
         # in single-pool mode the candidate pool IS the result pool)
         if dual_pool:
             ok = (neigh >= 0) & jnp.take(allow, jnp.maximum(neigh, 0))
             rd = jnp.where(ok, nd, _INF)
-            cat_rd = jnp.concatenate([res_d, rd], axis=1)
-            cat_ri = jnp.concatenate([res_i, neigh], axis=1)
-            srd, sri = jax.lax.sort(
-                (cat_rd, cat_ri), dimension=1, num_keys=1, is_stable=True
+            rd_s, ri_s = jax.lax.sort(
+                (rd, neigh), dimension=1, num_keys=1, is_stable=True
             )
-            new_res_d = srd[:, :ef]
-            new_res_i = jnp.where(
-                jnp.isfinite(new_res_d), sri[:, :ef], -1
+            new_res_d, new_res_i = _merge_sorted(
+                (res_d, res_i), (rd_s, ri_s), ef
             )
+            new_res_i = jnp.where(jnp.isfinite(new_res_d), new_res_i, -1)
         else:
             new_res_d, new_res_i = res_d, res_i
 
