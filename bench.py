@@ -36,6 +36,8 @@ Environment knobs:
   VSS_BENCH_RECALL_TARGET  ef escalates until recall >= this (default 0.90)
   VSS_BENCH_DELETES  fraction to tombstone+compact+requery (default 0 = skip)
   VSS_BENCH_FUSED    1/0 force fused Pallas gather (default auto)
+  VSS_BENCH_BUILD    exact|wave|native|auto build method (default exact)
+  VSS_BENCH_SEEDS    pivot seeds per query, 0 = greedy descent (default 4)
 """
 import json
 import os
@@ -157,6 +159,8 @@ def main():
     STORAGE = os.environ.get("VSS_BENCH_STORAGE", "f32")
     QBATCH = int(os.environ.get("VSS_BENCH_QBATCH", 512))
     ESEARCH = int(os.environ.get("VSS_BENCH_ESEARCH", 2))
+    BUILD = os.environ.get("VSS_BENCH_BUILD", "exact")
+    N_SEEDS = int(os.environ.get("VSS_BENCH_SEEDS", 4))
     QBATCH = min(QBATCH, NQ)
 
     log(f"[bench] backend={jax.default_backend()} N={N} D={D} NQ={NQ} K={K} EF={EF}")
@@ -230,7 +234,7 @@ def main():
             log(f"[bench] build {done}/{n} ({time.perf_counter() - t0:.0f}s)")
 
     idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
-                          method="wave", progress=_progress)
+                          method=BUILD, progress=_progress)
     # force real completion: fetch a scalar that depends on the last wave
     _ = float(np.asarray(idx.graph.count))
     build_s = time.perf_counter() - t0
@@ -243,6 +247,8 @@ def main():
     fused_env = os.environ.get("VSS_BENCH_FUSED")
     fused = (fused_env == "1") if fused_env is not None else _default_fused(graph)
     scale = idx.vector_scale
+    p_slots, p_vecs = idx.pivots() if N_SEEDS > 0 else (None, None)
+    x_norms = idx.norms()
 
     def q_scaled(qs):
         return qs / scale if STORAGE == "int8" else qs
@@ -254,7 +260,7 @@ def main():
             q = q_scaled(q_stack[i % nb]) + delta
             d, sl, it, ev = _hnsw_search_impl(
                 graph, config, q, allow, K, ef, ESEARCH, 0, False, True,
-                fused,
+                fused, p_slots, p_vecs, N_SEEDS, x_norms,
             )
             s = d[0, 0]
             return acc + s, delta + s * 1e-30
@@ -269,7 +275,7 @@ def main():
         for i in range(nb):
             d, sl, iters, evals = _hnsw_search_impl(
                 graph, config, q_scaled(q_stack[i]), allow, K, ef, ESEARCH,
-                0, False, True, fused,
+                0, False, True, fused, p_slots, p_vecs, N_SEEDS, x_norms,
             )
             rowss.append(np.asarray(
                 jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)

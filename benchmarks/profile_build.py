@@ -1,0 +1,37 @@
+"""Phase-level profile of the exact bulk build at bench scale (run on
+the real chip with VSS_EXACT_DEBUG=1 semantics built in)."""
+import os
+import sys
+import time
+
+os.environ.setdefault("VSS_EXACT_DEBUG", "1")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("N", 1_000_000))
+D = int(os.environ.get("D", 128))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vss_tpu.index.dense import HNSWIndex
+from vss_tpu.index.graph import HNSWConfig
+
+rng = np.random.default_rng(0)
+n_centers = max(64, N // 2000)
+centers = rng.uniform(0, 255, (n_centers, D))
+vecs = np.clip(
+    centers[rng.integers(0, n_centers, N)] + rng.normal(0, 25, (N, D)), 0, 255
+).astype(np.float32)
+
+cfg = HNSWConfig(dims=D, metric="l2sq")
+print(f"[profile] backend={jax.default_backend()} N={N} D={D}", file=sys.stderr)
+t0 = time.perf_counter()
+idx = HNSWIndex.build(vecs, cfg, method="exact")
+_ = float(np.asarray(idx.graph.count))
+dt = time.perf_counter() - t0
+print(f"[profile] total build {dt:.1f}s ({N/dt:.0f} rows/s)", file=sys.stderr)
