@@ -6,6 +6,8 @@ import time
 
 os.environ.setdefault("VSS_EXACT_DEBUG", "1")
 
+import threading
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,6 +19,25 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# The axon relay intermittently wedges device claims in a kernel-mode
+# poll loop (no exception, no progress). Watchdog: if the claim hasn't
+# completed in 150s, hard-exit 42 so a shell retry loop can re-exec a
+# fresh process (backend registration is per-process).
+_claimed = threading.Event()
+
+
+def _watchdog():
+    if not _claimed.wait(150):
+        print("[profile] device claim wedged; exit 42", file=sys.stderr, flush=True)
+        os._exit(42)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+print("[profile] claiming device...", file=sys.stderr, flush=True)
+_ = jax.devices()
+_claimed.set()
+print("[profile] claimed", file=sys.stderr, flush=True)
 
 from vss_tpu.index.dense import HNSWIndex
 from vss_tpu.index.graph import HNSWConfig
