@@ -76,12 +76,13 @@ def _dist_tile(q, x, metric: Metric, precision):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "C", "metric_name", "tile", "block", "approx", "fast_matmul"
+        "C", "metric_name", "tile", "block", "approx", "fast_matmul",
+        "dist_bf16",
     ),
 )
 def _knn_all(
     q_pad, q_ids, x, x_valid, C, metric_name, tile, block, approx,
-    fast_matmul,
+    fast_matmul, dist_bf16=False,
 ):
     """Exact top-C neighbors of every row of `q_pad` [nq_pad, d]
     (nq_pad % block == 0) over `x` [nx_pad, d] (nx_pad % tile == 0),
@@ -89,7 +90,16 @@ def _knn_all(
     match) and invalid x rows. The whole (query-block x db-tile) sweep
     runs as ONE device program — eager per-block dispatch costs ~100ms
     each through a tunneled device, which would dominate the matmuls.
-    Returns (dists [nq_pad, C] ascending, ids [nq_pad, C], -1 padded)."""
+
+    dist_bf16: materialize the [block, tile] distance matrix in bf16 —
+    the pass is HBM-bound on that buffer, so this halves its traffic.
+    Candidate ORDERING is all construction consumes, and near-tie
+    shuffles within bf16 resolution are indistinguishable from the
+    bf16-input rounding the matmul already has. Exact distances are
+    recomputed downstream (refine/backlinks score at f32).
+
+    Returns (dists [nq_pad, C] ascending f32, ids [nq_pad, C], -1
+    padded)."""
     metric = Metric.parse(metric_name)
     n_tiles = x.shape[0] // tile
     n_blocks = q_pad.shape[0] // block
@@ -98,18 +108,19 @@ def _knn_all(
     prec = (
         jax.lax.Precision.DEFAULT if fast_matmul else jax.lax.Precision.HIGHEST
     )
+    dd = jnp.bfloat16 if dist_bf16 else jnp.float32
 
     def one_block(q, ids_b):
         def step(carry, inp):
             best_d, best_i = carry
             x_tile, v_tile, t_idx = inp
-            d = _dist_tile(q, x_tile, metric, prec)  # [block, tile]
+            d = _dist_tile(q, x_tile, metric, prec).astype(dd)  # [block, tile]
             ids = t_idx * tile + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile), 1
             )
             ids = jnp.broadcast_to(ids, (block, tile))
             bad = ~v_tile[None, :] | (ids == ids_b[:, None])
-            d = jnp.where(bad, _INF, d)
+            d = jnp.where(bad, jnp.asarray(_INF, dd), d)
             if approx:
                 td, tp = jax.lax.approx_min_k(d, C, recall_target=0.98)
             else:
@@ -123,12 +134,13 @@ def _knn_all(
             return (sd[:, :C], si[:, :C]), None
 
         init = (
-            jnp.full((block, C), _INF, jnp.float32),
+            jnp.full((block, C), _INF, dd),
             jnp.full((block, C), -1, jnp.int32),
         )
         (bd, bi), _ = jax.lax.scan(
             step, init, (xt, vt, jnp.arange(n_tiles, dtype=jnp.int32))
         )
+        bd = bd.astype(jnp.float32)
         return bd, jnp.where(jnp.isfinite(bd), bi, -1)
 
     def body(b, out):
@@ -158,16 +170,20 @@ def exact_knn(
     block: int = 2048,
     tile: int = 65536,
     fast_matmul: bool = True,
+    dist_bf16: Optional[bool] = None,
     progress: Optional[Callable[[int, int], None]] = None,
 ):
     """Exact top-C neighbor lists for every row of `vecs` [n, d] against
     all rows (self excluded). `ids` [n] are the global ids reported (and
     matched for self-exclusion). Returns host-free device arrays
-    (dists [n, C], ids [n, C]).
+    (dists [n, C], ids [n, C]). `dist_bf16` defaults to on-TPU (see
+    `_knn_all`; CPU keeps f32 so oracle-comparison tests stay exact).
     """
     from vss_tpu.utils import use_pallas  # TPU detection, test-overridable
 
     metric = Metric.parse(metric)
+    if dist_bf16 is None:
+        dist_bf16 = use_pallas() and fast_matmul
     n, d = vecs.shape
     C = min(C, max(n - 1, 1))
     tile = min(tile, round_up(n, 512))
@@ -197,7 +213,7 @@ def exact_knn(
     if nq_pad <= eager_chunk:
         out_d, out_i = _knn_all(
             q_pad, q_ids, x, x_valid, C, metric.value, tile, block,
-            approx, fast_matmul,
+            approx, fast_matmul, dist_bf16,
         )
     else:
         parts_d, parts_i = [], []
@@ -210,7 +226,7 @@ def exact_knn(
                 ic = jnp.pad(ic, (0, eager_chunk - (e - s)), constant_values=-2)
             od, oi = _knn_all(
                 qc, ic, x, x_valid, C, metric.value, tile, block, approx,
-                fast_matmul,
+                fast_matmul, dist_bf16,
             )
             parts_d.append(od[: e - s])
             parts_i.append(oi[: e - s])

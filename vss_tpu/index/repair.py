@@ -88,6 +88,9 @@ def _bfs_host(adj: np.ndarray, seeds: np.ndarray, reached: np.ndarray):
         frontier = nxt
 
 
+_MAX_ANCHORS = 65536
+
+
 def repair_connectivity(
     graph: HNSWGraph,
     config: HNSWConfig,
@@ -103,10 +106,13 @@ def repair_connectivity(
     `max_bridges_per_round` unreachable nodes (an evenly-strided sample
     when there are more — one bridge per disconnected component
     suffices, because intra-component edges spread reachability to the
-    rest), find each one's nearest reachable node by masked exact scan
-    (query-chunked), and write a bidirectional bridge into the tail
-    adjacency slots of both endpoints. The BFS then RESUMES from the
-    newly bridged nodes instead of restarting.
+    rest), find each one's nearest REACHABLE ANCHOR and write a
+    bidirectional bridge into the tail adjacency slots of both endpoints.
+    The anchors are a strided sample (≤65536) of the reached set packed
+    densely on device — scanning the full tape with a validity mask
+    measured ~6x slower at 1M and bridges only need a *near* anchor, not
+    the global nearest. The BFS then RESUMES from the newly bridged
+    nodes instead of restarting.
     """
     entry = int(np.asarray(graph.entry))
     if entry < 0:
@@ -131,15 +137,28 @@ def repair_connectivity(
         bucket = round_up(idx.size, min(query_chunk, 256))
         up = np.full(bucket, int(idx[0]), np.int32)
         up[: idx.size] = idx
-        reached_j = jnp.asarray(reached)
+        # densely packed anchor sample of the reached set, pow2-padded
+        # (pad entries repeat anchor 0 — harmless duplicates)
+        ridx = np.nonzero(reached)[0]
+        if ridx.size > _MAX_ANCHORS:
+            astride = ridx.size / _MAX_ANCHORS
+            ridx = ridx[(np.arange(_MAX_ANCHORS) * astride).astype(np.int64)]
+        a_pad = 1 << max(int(ridx.size - 1).bit_length(), 8)
+        anchors = np.zeros(a_pad, np.int32)
+        anchors[: ridx.size] = ridx
+        anchors[ridx.size:] = ridx[0]
+        anchors_j = jnp.asarray(anchors)
+        anchor_vecs = jnp.take(tape_f32, anchors_j, axis=0)
         near_parts = []
         for s in range(0, bucket, query_chunk):
             u_vecs = jnp.take(tape_f32, jnp.asarray(up[s : s + query_chunk]), axis=0)
             _, near_c = bruteforce_topk(
-                u_vecs, tape_f32, 1, config.metric, valid_mask=reached_j
+                u_vecs, anchor_vecs, 1, config.metric
             )
             near_parts.append(np.asarray(near_c[:, 0]))
-        r = np.concatenate(near_parts)[: idx.size]
+        local = np.concatenate(near_parts)[: idx.size]
+        r = anchors[np.maximum(local, 0)]
+        r = np.where(local >= 0, r, -1)
         u = up[: idx.size]
         live = r >= 0
         u, r = u[live], r[live]
