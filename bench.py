@@ -249,6 +249,9 @@ def main():
     scale = idx.vector_scale
     p_slots, p_vecs = idx.pivots() if N_SEEDS > 0 else (None, None)
     x_norms = idx.norms()
+    p_tab, p_pack = idx.packed_tape()
+    if fused and graph.vectors.dtype != jnp.float32 and p_tab is None:
+        fused = False
 
     def q_scaled(qs):
         return qs / scale if STORAGE == "int8" else qs
@@ -260,7 +263,7 @@ def main():
             q = q_scaled(q_stack[i % nb]) + delta
             d, sl, it, ev = _hnsw_search_impl(
                 graph, config, q, allow, K, ef, ESEARCH, 0, False, True,
-                fused, p_slots, p_vecs, N_SEEDS, x_norms,
+                fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack,
             )
             s = d[0, 0]
             return acc + s, delta + s * 1e-30
@@ -276,6 +279,7 @@ def main():
             d, sl, iters, evals = _hnsw_search_impl(
                 graph, config, q_scaled(q_stack[i]), allow, K, ef, ESEARCH,
                 0, False, True, fused, p_slots, p_vecs, N_SEEDS, x_norms,
+                p_tab, p_pack,
             )
             rowss.append(np.asarray(
                 jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)

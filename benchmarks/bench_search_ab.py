@@ -79,6 +79,13 @@ def main():
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         save_index(idx, cache)
 
+    if os.environ.get("VSS_AB_LAYOUT") == "1":
+        log("applying optimize_layout (cluster-ordered slots)...")
+        t0 = time.perf_counter()
+        idx.optimize_layout()
+        log(f"optimize_layout: {time.perf_counter()-t0:.1f}s")
+        out["layout"] = "clustered"
+
     graph, config = idx.graph, idx.config
     qs_all = queries
     if STORAGE == "int8":
@@ -103,7 +110,8 @@ def main():
     gt_d, gt_i = bruteforce_topk(qs[0], jnp.asarray(vecs / (idx.vector_scale if STORAGE == "int8" else 1.0)), K, "l2sq")
     gt = np.asarray(gt_i)
 
-    def measure(expand, ef=EF, max_it=0, seeds=0, qstack=qs, label=""):
+    def measure(expand, ef=EF, max_it=0, seeds=0, qstack=qs, label="",
+                fused=False):
         """seeds=0 -> greedy descent; seeds>0 -> pivot seeding."""
         nb_, B_ = qstack.shape[0], qstack.shape[1]
         p_s = ps if seeds else None
@@ -117,7 +125,7 @@ def main():
                 q = qstack[i % nb_] + delta
                 d, sl, it, ev = _hnsw_search_impl(
                     graph, config, q, allow, K, ef, expand, max_it, False,
-                    True, False, p_s, p_v, ns, xn,
+                    True, fused, p_s, p_v, ns, xn,
                 )
                 s = d[0, 0]
                 return acc + s, delta + s * 1e-30
@@ -131,7 +139,7 @@ def main():
         qps = B_ / per
         d, sl, iters, evals = _hnsw_search_impl(
             graph, config, qstack[0], allow, K, ef, expand, max_it, False,
-            True, False, p_s, p_v, ns, xn,
+            True, fused, p_s, p_v, ns, xn,
         )
         rows = np.asarray(
             jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
@@ -144,6 +152,7 @@ def main():
         key = label or (
             f"{'pv' + str(ns) if seeds else 'desc'}_E{expand}_ef{ef}"
             + (f"_mi{max_it}" if max_it else "") + f"_B{B_}"
+            + ("_fused" if fused else "")
         )
         out[f"{key}_qps"] = round(qps, 1)
         out[f"{key}_recall"] = round(rec, 4)
@@ -152,17 +161,27 @@ def main():
         return qps, rec
 
     best = (0.0, None)
-    variants = [
-        dict(expand=2, seeds=0),            # round-1 baseline
-        dict(expand=2, seeds=4),
-        dict(expand=2, seeds=4, ef=32),
-        dict(expand=2, seeds=4, ef=48),
-        dict(expand=2, seeds=4, ef=32, max_it=24),
-        dict(expand=2, seeds=4, ef=48, max_it=32),
-        dict(expand=4, seeds=4, ef=32),
-        dict(expand=1, seeds=4, ef=32),
-        dict(expand=1, seeds=4, ef=24, max_it=32),
-    ]
+    VARIANT_SETS = {
+        "r1": [
+            dict(expand=2, seeds=0),            # round-1 baseline
+            dict(expand=2, seeds=4),
+            dict(expand=2, seeds=4, ef=32),
+            dict(expand=2, seeds=4, ef=48),
+            dict(expand=2, seeds=4, ef=32, max_it=24),
+            dict(expand=2, seeds=4, ef=48, max_it=32),
+            dict(expand=4, seeds=4, ef=32),
+            dict(expand=1, seeds=4, ef=32),
+            dict(expand=1, seeds=4, ef=24, max_it=32),
+        ],
+        # round-2 focus: the proven best +- the fused gather kernel
+        "r2": [
+            dict(expand=2, seeds=4, ef=48, max_it=32),
+            dict(expand=2, seeds=4, ef=48, max_it=32, fused=True),
+            dict(expand=2, seeds=4, ef=64),
+            dict(expand=2, seeds=4, ef=64, fused=True),
+        ],
+    }
+    variants = VARIANT_SETS[os.environ.get("VSS_AB_SET", "r2")]
     for v in variants:
         try:
             qps, rec = measure(**v)

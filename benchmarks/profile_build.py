@@ -39,6 +39,26 @@ _ = jax.devices()
 _claimed.set()
 print("[profile] claimed", file=sys.stderr, flush=True)
 
+# Second wedge mode: the claim succeeds but the first device op never
+# progresses (process fully asleep). Same treatment: probe with a tiny
+# op under a watchdog, exit 42 on stall so the shell loop re-execs.
+_warm = threading.Event()
+
+
+def _warm_watchdog():
+    if not _warm.wait(180):
+        print("[profile] first op wedged; exit 42", file=sys.stderr, flush=True)
+        os._exit(42)
+
+
+threading.Thread(target=_warm_watchdog, daemon=True).start()
+import jax.numpy as _jnp
+
+_x = _jnp.ones((256, 256))
+_ = float((_x @ _x).sum())
+_warm.set()
+print("[profile] first op ok", file=sys.stderr, flush=True)
+
 from vss_tpu.index.dense import HNSWIndex
 from vss_tpu.index.graph import HNSWConfig
 

@@ -79,6 +79,7 @@ class HNSWIndex:
         # element anchors the graph pytree they were computed from
         self._pivot_cache: Optional[tuple] = None
         self._norms_cache: Optional[tuple] = None
+        self._packed_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -207,11 +208,12 @@ class HNSWIndex:
         # hnsw_index.cpp:331-333)
         g = self.graph
         pivot_slots, pivot_vecs = self.pivots()
+        packed, packing = self.packed_tape()
         d, slots = hnsw_search(
             g, self.config, q, k, ef=ef, filter_mask=filter_mask,
             expand=expand, assume_all_valid=self.deleted_count == 0,
             pivot_slots=pivot_slots, pivot_vecs=pivot_vecs,
-            x_norms=self.norms(),
+            x_norms=self.norms(), packed_tape=packed, packing=packing,
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
@@ -260,6 +262,25 @@ class HNSWIndex:
         n = jnp.sum(xv * xv, axis=-1)
         self._norms_cache = (g, n)
         return n
+
+    def packed_tape(self):
+        """(packed_view, packing) for the fused gather kernel on
+        bf16/int8 tapes (`ops/gather.pack_table`); (None, 1) for f32
+        (the raw tape DMAs directly). Cached per graph version."""
+        g = self.graph
+        if self._packed_cache is not None and self._packed_cache[0] is g:
+            return self._packed_cache[1], self._packed_cache[2]
+        if g.vectors.dtype == jnp.float32:
+            self._packed_cache = (g, None, 1)
+            return None, 1
+        from vss_tpu.ops.gather import pack_table
+
+        try:
+            words, packing = pack_table(g.vectors)
+        except (ValueError, AssertionError):
+            words, packing = None, 1
+        self._packed_cache = (g, words, packing)
+        return words, packing
 
     def slot_rowid_array(self) -> np.ndarray:
         """slot -> rowid tape, host copy (filtered-search mask surface)."""

@@ -42,15 +42,25 @@ def _gather_vectors(vectors: jax.Array, ids: jax.Array) -> jax.Array:
 
 def _default_fused(graph: HNSWGraph) -> bool:
     """Use the fused Pallas gather+score kernel when it applies: TPU
-    backend, f32 tape (sub-word tapes need 1-row HBM slices Mosaic
-    rejects — they keep the XLA gather). VSS_FUSED_GATHER=0/1 overrides."""
+    backend; f32 tapes DMA rows directly, bf16/int8 tapes ride the
+    i32-word packed view (`ops/gather.pack_table` — Mosaic rejects 1-row
+    HBM slices of sub-word dtypes, so sub-word rows are reinterpreted as
+    word rows and decoded in VMEM). VSS_FUSED_GATHER=0/1 overrides."""
     import os
 
     from vss_tpu.utils import use_pallas
 
     env = os.environ.get("VSS_FUSED_GATHER")
+    d = graph.vectors.shape[1]
+    packable = (
+        graph.vectors.dtype == jnp.float32
+        or (graph.vectors.dtype == jnp.bfloat16 and d % 2 == 0)
+        or (graph.vectors.dtype == jnp.int8 and d % 4 == 0)
+    )
     if env is not None:
-        return env == "1"
+        return env == "1" and packable
+    # default: f32 only for now — the packed sub-word kernel is opt-in
+    # (VSS_FUSED_GATHER=1) until A/B'd against the XLA gather on chip
     return use_pallas() and graph.vectors.dtype == jnp.float32
 
 
@@ -233,6 +243,8 @@ def beam_search_base(
     dual_pool: bool = True,
     use_history: bool = True,
     fused: bool = False,
+    packed_tape: Optional[jax.Array] = None,
+    packing: int = 1,
 ):
     """Beam search with pool size `ef` from per-query seed nodes.
 
@@ -361,8 +373,10 @@ def beam_search_base(
             # finished queries) issue no DMA and cost nothing
             from vss_tpu.ops.gather import gather_distances_pallas
 
+            tab = packed_tape if packed_tape is not None else graph.vectors
             nd = gather_distances_pallas(
-                graph.vectors, neigh, q, config.metric, q_norms
+                tab, neigh, q, config.metric, q_norms,
+                packing=packing if packed_tape is not None else 1,
             )
         else:
             nd = gathered_distances(
@@ -474,13 +488,13 @@ def pivot_seeds(
     jax.jit,
     static_argnames=(
         "config", "k", "ef", "expand", "max_iters", "dual_pool",
-        "use_history", "fused", "n_seeds",
+        "use_history", "fused", "n_seeds", "packing",
     ),
 )
 def _hnsw_search_impl(
     graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
     use_history=True, fused=False, pivot_slots=None, pivot_vecs=None,
-    n_seeds=4, x_norms=None,
+    n_seeds=4, x_norms=None, packed_tape=None, packing=1,
 ):
     metric = Metric.parse(config.metric)
     q_norms = None
@@ -509,7 +523,8 @@ def _hnsw_search_impl(
     res_d, res_i, _, (iters, evals) = beam_search_base(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
         x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
-        use_history=use_history, fused=fused,
+        use_history=use_history, fused=fused, packed_tape=packed_tape,
+        packing=packing,
     )
     out_d = res_d[:, :k]
     out_i = res_i[:, :k]
@@ -537,6 +552,8 @@ def hnsw_search(
     pivot_vecs: Optional[jax.Array] = None,
     n_seeds: int = 4,
     x_norms: Optional[jax.Array] = None,
+    packed_tape: Optional[jax.Array] = None,
+    packing: int = 1,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -568,10 +585,14 @@ def hnsw_search(
     dual_pool = not (assume_all_valid and filter_mask is None)
     if fused is None:
         fused = _default_fused(graph)
+    if fused and graph.vectors.dtype != jnp.float32 and packed_tape is None:
+        # sub-word tapes need the packed i32 view; without one (no cache
+        # provided by the caller) fall back to the XLA gather path
+        fused = False
     d, i, iters, evals = _hnsw_search_impl(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
         max_iters, dual_pool, use_history, fused, pivot_slots,
-        pivot_vecs, n_seeds, x_norms,
+        pivot_vecs, n_seeds, x_norms, packed_tape, packing,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}

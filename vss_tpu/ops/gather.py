@@ -136,16 +136,17 @@ def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
 def _gather_dist_kernel(
     ids_ref,      # scalar-prefetch: flat ids [B*C] (SMEM)
     ids_v_ref,    # same ids, blocked [QB, C] (VMEM) for masking
-    q_ref,        # [QB, d] queries
+    q_ref,        # [QB, d] queries (PLANE order when packing > 1)
     qn_ref,       # [QB, 1] query squared norms
-    table_ref,    # [N, d] HBM
+    table_ref,    # [N, d/packing] HBM (i32 words when packing > 1)
     out_ref,      # [QB, C] distances
-    scratch,      # [QB*C, d] VMEM
+    scratch,      # [QB*C, d/packing] VMEM
     sems,         # DMA semaphores
     *,
     qb: int,
     c: int,
     metric_name: str,
+    packing: int,
 ):
     from vss_tpu.ops.distance import Metric
 
@@ -186,17 +187,43 @@ def _gather_dist_kernel(
 
     jax.lax.fori_loop(0, total, body, 0)
 
-    g = scratch[:].astype(jnp.float32).reshape(qb, c, -1)
+    # Decode the gathered rows into `packing` f32 planes of d/packing
+    # lanes each. Distances only need sums over the d axis, which any
+    # fixed permutation of d preserves — so planes are scored against a
+    # query pre-permuted into the SAME plane order (done by the host
+    # wrapper), and nothing is ever re-interleaved.
+    w = scratch[:]
+    if packing == 1:
+        planes = [w.astype(jnp.float32)]
+    elif packing == 2:  # bf16 pairs per i32 word: f32 = bits << 16
+        lo = jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            w & jnp.int32(-65536), jnp.float32
+        )
+        planes = [lo, hi]
+    else:  # int8 quads per i32 word, sign-extended via (b ^ 128) - 128
+        planes = []
+        for k in range(4):
+            b = (w >> (8 * k)) & jnp.int32(255)
+            planes.append(((b ^ 128) - 128).astype(jnp.float32))
+
+    dp = planes[0].shape[-1]
     qv = q_ref[:].astype(jnp.float32)
-    dots = jax.lax.dot_general(
-        g, qv, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [QB, C]
+    dots = jnp.zeros((qb, c), jnp.float32)
+    xn = jnp.zeros((qb, c), jnp.float32)
+    for k, p in enumerate(planes):
+        g = p.reshape(qb, c, dp)
+        qk = qv[:, k * dp:(k + 1) * dp]
+        dots = dots + jax.lax.dot_general(
+            g, qk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if metric != Metric.IP:
+            xn = xn + jnp.sum(g * g, axis=2)
     ok = ids_v_ref[:] >= 0
     if metric == Metric.IP:
         d = 1.0 - dots
     else:
-        xn = jnp.sum(g * g, axis=2)
         qn = qn_ref[:]  # [QB, 1]
         if metric == Metric.L2SQ:
             d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
@@ -208,11 +235,13 @@ def _gather_dist_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qb", "metric_name")
+    jax.jit, static_argnames=("qb", "metric_name", "packing")
 )
-def _gather_distances_impl(table, ids, q, qn, qb: int, metric_name: str):
+def _gather_distances_impl(table, ids, q, qn, qb: int, metric_name: str,
+                           packing: int):
     B, C = ids.shape
-    d = table.shape[1]
+    dw = table.shape[1]  # words per row (d / packing)
+    d = dw * packing
     n_prog = B // qb
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -227,18 +256,52 @@ def _gather_distances_impl(table, ids, q, qn, qb: int, metric_name: str):
             (qb, C), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((qb * C, d), table.dtype),
+            pltpu.VMEM((qb * C, dw), table.dtype),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(
-            _gather_dist_kernel, qb=qb, c=C, metric_name=metric_name
+            _gather_dist_kernel, qb=qb, c=C, metric_name=metric_name,
+            packing=packing,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids.reshape(-1).astype(jnp.int32), ids.astype(jnp.int32), q, qn, table)
+
+
+def pack_table(table: jax.Array):
+    """(packed_view, packing) for the fused kernel: f32 passes through;
+    bf16/int8 rows are bit-packed into i32 words (a pure reinterpretation
+    — do this ONCE per graph version and cache, the copy is tape-sized).
+    The i32 word layout implies the plane order `plane_queries` uses."""
+    n, d = table.shape
+    if table.dtype == jnp.float32:
+        return table, 1
+    if table.dtype == jnp.bfloat16:
+        assert d % 2 == 0
+        w = jax.lax.bitcast_convert_type(table.reshape(n, d // 2, 2), jnp.int32)
+        return w, 2
+    if table.dtype == jnp.int8:
+        assert d % 4 == 0
+        w = jax.lax.bitcast_convert_type(table.reshape(n, d // 4, 4), jnp.int32)
+        return w, 4
+    raise ValueError(f"unsupported tape dtype {table.dtype}")
+
+
+def plane_queries(q: jax.Array, packing: int) -> jax.Array:
+    """Permute the d axis into the kernel's plane order: byte/half k of
+    each packed word forms plane k, so q[:, j*packing + k] moves to
+    plane k, column j. Identity for packing == 1."""
+    if packing == 1:
+        return q
+    B, d = q.shape
+    return (
+        q.reshape(B, d // packing, packing)
+        .transpose(0, 2, 1)
+        .reshape(B, d)
+    )
 
 
 def gather_distances_pallas(
@@ -248,12 +311,14 @@ def gather_distances_pallas(
     metric,
     q_norms_sq=None,
     qb: int = 8,
+    packing: int = 1,
 ) -> jax.Array:
     """Fused `distances(q[b], table[ids[b, c]])` -> [B, C] f32; +inf where
-    ids < 0. table dtype f32 (bf16/int8 tables go through the packed-view
-    wrapper in the search layer)."""
+    ids < 0. `table` is the raw f32 tape (packing=1) or a `pack_table`
+    i32 word view (packing=2 bf16, 4 int8); q is always the unpacked f32
+    query — the plane permutation happens here."""
     B, C = ids.shape
-    q = q.astype(jnp.float32)
+    q = plane_queries(q.astype(jnp.float32), packing)
     if q_norms_sq is None:
         q_norms_sq = jnp.sum(q * q, axis=-1)
     qn = q_norms_sq.astype(jnp.float32)[:, None]
@@ -266,6 +331,6 @@ def gather_distances_pallas(
     from vss_tpu.ops.distance import Metric
 
     out = _gather_distances_impl(
-        table, ids, q, qn, qb, Metric.parse(metric).value
+        table, ids, q, qn, qb, Metric.parse(metric).value, packing
     )
     return out[:B]
