@@ -94,6 +94,7 @@ def main():
     allow = graph.valid
     ps, pv = idx.pivots()
     xn = idx.norms()
+    p_tab, p_pack = idx.packed_tape()
     log(f"pivots: {0 if ps is None else int(ps.shape[0])} slots")
 
     def slope(fn, lo=2, hi=8):
@@ -126,6 +127,7 @@ def main():
                 d, sl, it, ev = _hnsw_search_impl(
                     graph, config, q, allow, K, ef, expand, max_it, False,
                     True, fused, p_s, p_v, ns, xn,
+                    p_tab if fused else None, p_pack if fused else 1,
                 )
                 s = d[0, 0]
                 return acc + s, delta + s * 1e-30
@@ -140,6 +142,7 @@ def main():
         d, sl, iters, evals = _hnsw_search_impl(
             graph, config, qstack[0], allow, K, ef, expand, max_it, False,
             True, fused, p_s, p_v, ns, xn,
+            p_tab if fused else None, p_pack if fused else 1,
         )
         rows = np.asarray(
             jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
