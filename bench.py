@@ -55,25 +55,48 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _reexec(reason: str, delay: int = 60):
+    """Replace this process with a fresh attempt (backend registration is
+    per-process, so tunnel wedges can only be cleared by re-exec)."""
+    attempt = int(os.environ.get("VSS_BENCH_ATTEMPT", "0"))
+    if attempt >= 10:
+        log(f"[bench] {reason}: giving up after {attempt} attempts")
+        os._exit(1)
+    log(f"[bench] {reason} (attempt {attempt}), re-exec in {delay}s")
+    time.sleep(delay)
+    env = dict(os.environ)
+    env["VSS_BENCH_ATTEMPT"] = str(attempt + 1)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def _ensure_backend():
-    """The axon TPU tunnel intermittently refuses session claims; the
-    backend registration happens at interpreter start, so recovery needs a
-    fresh process — re-exec with a bounded retry counter."""
+    """The axon TPU tunnel has two wedge modes: (a) the session claim
+    raises, (b) the claim succeeds but the first device op spins forever
+    in a kernel-mode poll loop — no exception, no progress. (a) is caught
+    here; (b) is caught by a watchdog thread that re-execs the process if
+    a tiny probe op hasn't completed within 180s (exec from the watchdog
+    thread tears down the wedged main thread)."""
     try:
         import jax
 
         jax.devices()
-        return
     except Exception as e:
-        attempt = int(os.environ.get("VSS_BENCH_ATTEMPT", "0"))
-        if attempt >= 10:
-            log(f"[bench] backend init failed permanently: {e}")
-            raise
-        log(f"[bench] backend init failed (attempt {attempt}), retrying in 60s")
-        time.sleep(60)
-        env = dict(os.environ)
-        env["VSS_BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        _reexec(f"backend init failed: {e}")
+    import threading
+
+    import jax.numpy as jnp
+
+    ok = threading.Event()
+
+    def watchdog():
+        if not ok.wait(180):
+            _reexec("first device op wedged", delay=30)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    x = jnp.ones((256, 256))
+    _ = float((x @ x).sum())
+    ok.set()
+    log("[bench] device probe ok")
 
 
 def _slope(fn, lo, hi):

@@ -1,0 +1,90 @@
+"""Cost-based plan choice between the HNSW graph and the exact MXU scan.
+
+The reference has no such component: on a CPU the graph is the only
+viable operator, so its optimizers rewrite unconditionally
+(`/root/reference/src/hnsw/hnsw_optimize_scan.cpp`,
+`hnsw_optimize_join.cpp`). On a TPU the exact scan is a sequential
+HBM-bandwidth stream through the MXU and *beats the graph outright* for
+large query batches over HBM-resident corpora (measured: at 1M x 128-d
+f32, a 512-query exact batch runs ~0.8 ms while 512 beam searches take
+tens of ms — see docs/BENCH.md), while the graph wins for small batches
+over large corpora (one query streams nothing but ~ef·M neighbor rows).
+
+This module scores both operators with a two-parameter bandwidth model:
+
+  exact   ~ ceil(B / QBATCH) * N * d * itemsize / STREAM_BW
+  graph   ~ B * ITERS(ef, expand) * expand * M0 * row_fetch / RANDOM_BW
+            + B * ITER_OVERHEAD
+
+STREAM_BW is the sequential HBM rate the exact kernel sustains and
+RANDOM_BW the effective rate of random single-row gathers (a few percent
+of peak — each beam step fetches scattered rows); both were fit to the
+flagship measurements in docs/BENCH.md and are deliberately coarse: the
+decision only has to be right when the two operators are orders of
+magnitude apart, which is exactly when it matters.
+
+Disabled by default (`SET hnsw_cost_model = true` to enable) so the
+default plan shapes stay reference-parity: the reference always picks the
+index, and its tests assert HNSW_INDEX_SCAN / HNSW_INDEX_JOIN in EXPLAIN.
+"""
+from __future__ import annotations
+
+# Sequential stream rate of the exact-scan kernel (bytes/s). Measured
+# ~600 GB/s on v5e at 1M x 128 f32 (docs/BENCH.md); CPU runs only need
+# the *ratio* to RANDOM_BW to make the same relative choice.
+STREAM_BW = 600e9
+# Effective random row-gather rate of the beam search (bytes/s),
+# including the fused-kernel DMA path. Fit so that 512 queries over
+# 1M x 128 f32 cost ~50-80 ms, matching the measured beam throughput.
+RANDOM_BW = 12e9
+# Fixed per-query-per-search overhead (s): while_loop step latency that
+# doesn't scale with row width.
+QUERY_OVERHEAD = 8e-6
+# Query rows the exact kernel amortizes per pass (its batch tile).
+QBATCH = 512
+# Minimum bytes a random row fetch occupies end-to-end (DMA descriptor +
+# HBM burst granularity): short rows don't fetch faster than this.
+MIN_FETCH = 256.0
+
+
+def beam_iters(ef: int, expand: int) -> float:
+    """Fixed-bound iteration count of the batched beam
+    (index/search.py: max_iters = 4 + 2*ef/expand; typical searches run
+    near the bound before the done-latch covers the batch)."""
+    return 4 + (2 * ef) / max(expand, 1)
+
+
+def exact_cost_s(n_rows: int, dims: int, itemsize: int, n_queries: int) -> float:
+    """Wall-clock estimate of BRUTE_FORCE_TOPK over the whole table."""
+    passes = max(1, -(-n_queries // QBATCH))
+    return passes * (n_rows * dims * itemsize) / STREAM_BW
+
+
+def graph_cost_s(
+    n_queries: int,
+    dims: int,
+    itemsize: int,
+    ef: int,
+    m0: int,
+    expand: int = 2,
+) -> float:
+    """Wall-clock estimate of `n_queries` beam searches."""
+    row = max(dims * itemsize, MIN_FETCH)
+    fetched = beam_iters(ef, expand) * expand * m0 * row
+    return n_queries * (fetched / RANDOM_BW + QUERY_OVERHEAD)
+
+
+def prefer_exact(
+    n_rows: int,
+    dims: int,
+    itemsize: int,
+    n_queries: int,
+    ef: int,
+    m0: int,
+    expand: int = 2,
+) -> bool:
+    """True when the exact scan is estimated cheaper than the graph for
+    this (corpus, batch) — the hybrid-planner decision point."""
+    return exact_cost_s(n_rows, dims, itemsize, n_queries) < graph_cost_s(
+        n_queries, dims, itemsize, ef, m0, expand
+    )

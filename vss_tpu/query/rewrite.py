@@ -51,6 +51,28 @@ __all__ = ["optimize", "match_distance_order"]
 # (hnsw_optimize_topk.cpp:172, hnsw_optimize_join.cpp:458)
 MAX_K = 2048
 
+_ITEMSIZE = {"f32": 4, "bf16": 2, "int8": 1}
+
+
+def _cost_prefers_exact(db: Database, entry, n_rows: int, n_queries: int,
+                        k: int) -> bool:
+    """Hybrid planner decision (no reference counterpart — the reference
+    always picks the index; see query/cost.py): with the opt-in
+    `hnsw_cost_model` setting, estimate the exact MXU scan vs the beam
+    search for this (corpus, batch) and skip the index rewrite when the
+    scan is cheaper. Exactness only improves results, so the flip is
+    always sound."""
+    if not db.settings.get("hnsw_cost_model"):
+        return False
+    from vss_tpu.query.cost import prefer_exact
+
+    cfg = entry.index.config
+    ef = max(int(db.settings.get("hnsw_ef_search") or 0), cfg.ef_search, k)
+    return prefer_exact(
+        n_rows, cfg.dims, _ITEMSIZE.get(cfg.storage_dtype, 4), n_queries,
+        ef, cfg.m0,
+    )
+
 
 # --------------------------------------------------------- expression rule
 def rewrite_expr(e: Expr) -> Expr:
@@ -198,6 +220,11 @@ def _rewrite_topk(db: Database, node: TopK) -> Optional[PlanNode]:
     if t.vector_dims(col) != qv.shape[0]:
         return None
     entry = _find_index(db, scan.table, col, fn_name, qv.shape[0])
+    if entry is not None and not filters and _cost_prefers_exact(
+        db, entry, t.num_rows, 1, node.k
+    ):
+        # hybrid planner: small corpus, exact scan cheaper than the beam
+        entry = None
     if entry is not None:
         if (
             filters
@@ -340,6 +367,13 @@ def _rewrite_lateral(db: Database, node) -> Optional[PlanNode]:
     entry = _find_index(db, node.right_table, inner_col, fn_name, dims)
     if entry is None:
         return None
+    # hybrid planner: the exact MXU join amortizes one table stream over
+    # the whole outer batch; for large batches it beats per-row beams
+    if _cost_prefers_exact(
+        db, entry, db.table(node.right_table).num_rows,
+        db.table(node.left_table).num_rows, node.k,
+    ):
+        return None
     return IndexedLateralJoin(
         optimize(db, node.left), node.left_table, node.left_alias,
         node.right_table, node.right_alias, entry.name, outer_vec,
@@ -360,6 +394,13 @@ def _rewrite_knn_join(db: Database, node: KNNJoin) -> Optional[PlanNode]:
     entry = _find_index(db, node.right_table, node.right_column,
                         node.metric_function, dims)
     if entry is None:
+        return None
+    # hybrid planner (see _rewrite_lateral): outer cardinality is known
+    # when the left side bottoms out in a table scan
+    peeled = _peel_filters(node.left)
+    if peeled is not None and _cost_prefers_exact(
+        db, entry, t.num_rows, db.table(peeled[1].table).num_rows, node.k
+    ):
         return None
     return HNSWIndexJoinNode(
         optimize(db, node.left), node.right_table, entry.name,

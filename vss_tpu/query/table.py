@@ -314,6 +314,10 @@ class Database:
             # the index scan (filtered_search) so k matching rows come
             # back, instead of post-filtering the k nearest
             "hnsw_pushdown_filters": False,
+            # extension beyond the reference: cost-based choice between
+            # the index and the exact MXU scan (query/cost.py). Off by
+            # default so plan shapes stay reference-parity.
+            "hnsw_cost_model": False,
         }
         self.path = path  # set -> "disk-backed" (persistence gate applies)
         # coarse catalog/DML lock (the reference gets per-index rwlocks
