@@ -99,18 +99,27 @@ def _ensure_backend():
     log("[bench] device probe ok")
 
 
-def _slope(fn, lo, hi):
+def _slope(fn, lo, hi, trials=3):
     """Per-iteration time of an iters-parameterized jitted computation,
-    warmed at both iteration counts, forced by a host scalar fetch."""
+    warmed at both iteration counts, forced by a host scalar fetch.
+    Takes the smallest positive (t_hi - t_lo) delta over `trials` paired
+    runs: single-pair deltas through the relay are noisy enough to go
+    negative, which round-2 runs showed can fabricate absurd rates."""
     _ = float(np.asarray(fn(lo)).ravel()[0])
     _ = float(np.asarray(fn(hi)).ravel()[0])
-    t0 = time.perf_counter()
-    _ = float(np.asarray(fn(lo)).ravel()[0])
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(np.asarray(fn(hi)).ravel()[0])
-    t_hi = time.perf_counter() - t0
-    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+    deltas = []
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(fn(lo)).ravel()[0])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(np.asarray(fn(hi)).ravel()[0])
+        t_hi = time.perf_counter() - t0
+        deltas.append(t_hi - t_lo)
+    pos = [d for d in deltas if d > 0]
+    if not pos:
+        return max(max(deltas) / (hi - lo), 1e-9)
+    return min(pos) / (hi - lo)
 
 
 def measure_mxu_peaks():
@@ -147,7 +156,7 @@ def measure_mxu_peaks():
     f_bf = chain(lax.Precision.DEFAULT, jnp.bfloat16)
     bf16 = fl / _slope(lambda it: f_bf(a, b, it), 4, 16) / 1e12
     f_hi = chain(lax.Precision.HIGHEST, jnp.float32)
-    f32h = fl / _slope(lambda it: f_hi(a, b, it), 2, 8) / 1e12
+    f32h = fl / _slope(lambda it: f_hi(a, b, it), 8, 32) / 1e12
     log(f"[bench] measured peaks: bf16={bf16:.0f} TF/s, f32-HIGHEST={f32h:.1f} TF/s")
     return bf16, f32h
 
@@ -328,6 +337,21 @@ def main():
         ef_used = ef_try
         qps, rec, per_b, evals_b, iters_b = run_at(ef_used)
         log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f}")
+    # descend while the target still holds: ef is a pure speed/recall
+    # knob and the reported number should be the cheapest setting that
+    # meets the BASELINE recall bar (the reference tunes ef_search the
+    # same way via the hnsw_ef_search setting)
+    if os.environ.get("VSS_BENCH_EF_DESCEND", "1") == "1":
+        for ef_try in (48, 32, 24, 16):
+            if rec < RECALL_TARGET or ef_try >= ef_used or ef_try < K:
+                break
+            q2, r2, p2, e2, i2 = run_at(ef_try)
+            log(f"[bench] ef={ef_try}: {q2:.0f} qps recall@{K}={r2:.4f}")
+            if r2 < RECALL_TARGET:
+                break
+            ef_used, qps, rec, per_b, evals_b, iters_b = (
+                ef_try, q2, r2, p2, e2, i2
+            )
 
     row_bytes = D * {"f32": 4, "bf16": 2, "int8": 1}[STORAGE]
     gather_gb_s = evals_b * row_bytes / per_b / 1e9

@@ -216,7 +216,12 @@ def exact_knn(
             approx, fast_matmul, dist_bf16,
         )
     else:
-        parts_d, parts_i = [], []
+        parts_d, parts_i, ends = [], [], []
+        # keep a few chunks in flight (XLA pipelines consecutive
+        # dispatches), but lag the progress callback behind COMPLETED
+        # chunks — dispatch returns long before the device finishes, and
+        # truthful progress is what external stall watchdogs key on
+        lag = 3
         for s in range(0, nq_pad, eager_chunk):
             e = min(s + eager_chunk, nq_pad)
             qc = q_pad[s:e]
@@ -230,8 +235,10 @@ def exact_knn(
             )
             parts_d.append(od[: e - s])
             parts_i.append(oi[: e - s])
-            if progress is not None:
-                progress(min(e, n), n)
+            ends.append(min(e, n))
+            if progress is not None and len(parts_i) > lag:
+                jax.block_until_ready(parts_i[-1 - lag])
+                progress(ends[-1 - lag], n)
         out_d = jnp.concatenate(parts_d)
         out_i = jnp.concatenate(parts_i)
     if progress is not None:
