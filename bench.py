@@ -196,66 +196,78 @@ def main():
     QBATCH = min(QBATCH, NQ)
 
     log(f"[bench] backend={jax.default_backend()} N={N} D={D} NQ={NQ} K={K} EF={EF}")
+    DIST = os.environ.get("VSS_BENCH_DIST", "clustered")
     rng = np.random.default_rng(0)
-    # SIFT-like synthetic (no dataset downloads in this environment):
-    # clustered points in [0, 255]^D, mirroring SIFT's byte-valued
-    # descriptors and cluster structure. i.i.d. gaussian would be a
-    # near-orthogonal worst case no real ANN corpus resembles.
-    n_centers = max(64, N // 2000)
-    centers = rng.uniform(0, 255, (n_centers, D))
-    vecs = np.clip(
-        centers[rng.integers(0, n_centers, N)] + rng.normal(0, 25, (N, D)), 0, 255
-    ).astype(np.float32)
     nb = max(NQ // QBATCH, 1)
     NQ = nb * QBATCH
-    queries = np.clip(
-        centers[rng.integers(0, n_centers, NQ)] + rng.normal(0, 25, (NQ, D)), 0, 255
-    ).astype(np.float32)
+    if DIST == "iid":
+        # adversarial near-orthogonal case: i.i.d. gaussian. No real ANN
+        # corpus looks like this (all pairs nearly equidistant as D
+        # grows), but it bounds recall from below.
+        vecs = rng.standard_normal((N, D)).astype(np.float32)
+        queries = rng.standard_normal((NQ, D)).astype(np.float32)
+    else:
+        # SIFT-like synthetic (no dataset downloads in this environment):
+        # clustered points in [0, 255]^D, mirroring SIFT's byte-valued
+        # descriptors and cluster structure.
+        n_centers = max(64, N // 2000)
+        centers = rng.uniform(0, 255, (n_centers, D))
+        vecs = np.clip(
+            centers[rng.integers(0, n_centers, N)] + rng.normal(0, 25, (N, D)), 0, 255
+        ).astype(np.float32)
+        queries = np.clip(
+            centers[rng.integers(0, n_centers, NQ)] + rng.normal(0, 25, (NQ, D)), 0, 255
+        ).astype(np.float32)
 
     cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF, storage_dtype=STORAGE)
 
-    bf16_peak, f32h_peak = (0.0, 0.0) if on_cpu else measure_mxu_peaks()
+    only_build = os.environ.get("VSS_BENCH_ONLY_BUILD") == "1"
+    bf16_peak, f32h_peak = (
+        (0.0, 0.0) if on_cpu or only_build else measure_mxu_peaks()
+    )
 
-    # ---- ground truth + exact-scan rate
-    log("[bench] ground truth...")
+    # ---- ground truth + exact-scan rate (skipped for build-only runs)
     if DEL_FRAC > 0:
         dead = rng.choice(N, int(N * DEL_FRAC), replace=False)
         alive_mask = np.ones(N, bool)
         alive_mask[dead] = False
-    xs = jnp.asarray(vecs)
-    q_stack = jnp.asarray(queries.reshape(nb, QBATCH, D))
-    gt_parts = []
-    for i in range(nb):
-        gt_parts.append(np.asarray(bruteforce_topk(q_stack[i], xs, K, METRIC)[1]))
-    gt = np.concatenate(gt_parts)
+    gt = gt_deleted = None
+    q_stack = None
+    if not only_build:
+        log("[bench] ground truth...")
+        xs = jnp.asarray(vecs)
+        q_stack = jnp.asarray(queries.reshape(nb, QBATCH, D))
+        gt_parts = []
+        for i in range(nb):
+            gt_parts.append(np.asarray(bruteforce_topk(q_stack[i], xs, K, METRIC)[1]))
+        gt = np.concatenate(gt_parts)
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def scan_loop(q_stack, xs, iters: int):
-        def body(i, carry):
-            acc, delta = carry
-            d, _ = bruteforce_topk(q_stack[i % nb] + delta, xs, K, METRIC)
-            s = d[0, 0]
-            return acc + s, delta + s * 1e-30
+        @partial(jax.jit, static_argnames=("iters",))
+        def scan_loop(q_stack, xs, iters: int):
+            def body(i, carry):
+                acc, delta = carry
+                d, _ = bruteforce_topk(q_stack[i % nb] + delta, xs, K, METRIC)
+                s = d[0, 0]
+                return acc + s, delta + s * 1e-30
 
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
-        return acc
+            acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
+            return acc
 
-    per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 2, 6)
-    brute_qps = QBATCH / per_scan
-    scan_tflops = 2 * QBATCH * N * D / per_scan / 1e12
-    scan_gb_s = (N * D * 4) / per_scan / 1e9
-    log(f"[bench] exact scan: {per_scan*1e3:.1f}ms/{QBATCH}-batch = "
-        f"{brute_qps:.0f} qps ({scan_tflops:.1f} TF/s model, "
-        f"{scan_gb_s:.0f} GB/s table stream)")
+        per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 2, 6)
+        brute_qps = QBATCH / per_scan
+        scan_tflops = 2 * QBATCH * N * D / per_scan / 1e12
+        scan_gb_s = (N * D * 4) / per_scan / 1e9
+        log(f"[bench] exact scan: {per_scan*1e3:.1f}ms/{QBATCH}-batch = "
+            f"{brute_qps:.0f} qps ({scan_tflops:.1f} TF/s model, "
+            f"{scan_gb_s:.0f} GB/s table stream)")
 
-    gt_deleted = None
-    if DEL_FRAC > 0:
-        _, ids2 = bruteforce_topk(
-            q_stack[0], xs, K, METRIC, valid_mask=jnp.asarray(alive_mask)
-        )
-        gt_deleted = np.asarray(ids2)
-    del xs
-    jax.clear_caches()  # also drops cached scan workspaces
+        if DEL_FRAC > 0:
+            _, ids2 = bruteforce_topk(
+                q_stack[0], xs, K, METRIC, valid_mask=jnp.asarray(alive_mask)
+            )
+            gt_deleted = np.asarray(ids2)
+        del xs
+        jax.clear_caches()  # also drops cached scan workspaces
 
     # ---- build
     log("[bench] building index...")
@@ -272,6 +284,13 @@ def main():
     build_s = time.perf_counter() - t0
     build_rows_per_s = N / build_s
     log(f"[bench] build {build_s:.1f}s ({build_rows_per_s:.0f} rows/s)")
+    if os.environ.get("VSS_BENCH_ONLY_BUILD") == "1":
+        print(json.dumps({
+            "metric": f"build_rows_per_s_n{N}_d{D}", "value": round(build_rows_per_s, 1),
+            "unit": "rows/s", "vs_baseline": round(build_rows_per_s / 10_000, 4),
+            "build_seconds": round(build_s, 1), "backend": jax.default_backend(),
+        }))
+        return
 
     # ---- search (slope-timed in-graph over the batch stack)
     graph, config = idx.graph, idx.config
@@ -371,7 +390,10 @@ def main():
         extra["deleted_fraction"] = DEL_FRAC
 
     out = {
-        "metric": f"synthetic_sift_n{N}_d{D}_{METRIC}_qps_per_chip",
+        "metric": (
+            f"synthetic_{'iid' if DIST == 'iid' else 'sift'}"
+            f"_n{N}_d{D}_{METRIC}_qps_per_chip"
+        ),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 10_000.0, 4),
