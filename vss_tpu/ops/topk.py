@@ -19,6 +19,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from vss_tpu.ops.distance import Metric, dispatch_pairwise, pairwise
 from vss_tpu.utils import pad_to, round_up
@@ -102,6 +104,156 @@ def _bruteforce_topk_impl(q, x, valid, k, metric_name, chunk, use_pallas_tiles):
     return best_d, best_i
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas scan: the XLA path above materializes every [nq, chunk]
+# distance block in HBM and the iterative min-k re-reads it k times —
+# measured 101 ms per 512-query batch at 1M x 128 (5 GB/s effective: the
+# scan is distance-MATRIX-bound, not table-bound). This kernel streams the
+# table through VMEM once, scores on the MXU, and keeps the running top-k
+# in VMEM scratch across a sequential grid, so HBM traffic is exactly one
+# table read. A tile whose minimum doesn't beat the current kth-best skips
+# its merge entirely (the common case after the first few tiles).
+
+
+def _scan_topk_kernel(
+    q_ref, qn_ref, x_ref, v_ref, outd_ref, outi_ref, bd, bi,
+    *, k: int, kp: int, tile: int, metric_name: str, highest: bool,
+):
+    metric = Metric.parse(metric_name)
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        bd[:] = jnp.full_like(bd, _INF)
+        bi[:] = jnp.full_like(bi, -1)
+
+    x = x_ref[:]
+    q = q_ref[:]
+    prec = (
+        jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+    )
+    dots = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [BQ, tile]
+    ok = v_ref[:] > 0  # [1, tile]
+    if metric == Metric.IP:
+        d = 1.0 - dots
+    else:
+        xn = jnp.sum(x * x, axis=1)[None, :]
+        qn = qn_ref[:]  # [BQ, 1]
+        if metric == Metric.L2SQ:
+            d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
+        else:  # cosine (zero-vector guards as ops/distance._epilogue)
+            denom = jnp.sqrt(qn * xn)
+            cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+            d = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
+    d = jnp.where(ok & ~jnp.isnan(d), d, _INF)
+    base = j * tile
+
+    # merge only when this tile can improve the pool (always on tile 0)
+    beat = (j == 0) | jnp.any(jnp.min(d, axis=1) < bd[:, k - 1])
+
+    @pl.when(beat)
+    def _():
+        iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        cur = d
+        tvs, tis = [], []
+        for _ in range(k):  # k (min, first-pos) passes, VMEM-resident
+            m = jnp.min(cur, axis=1, keepdims=True)
+            pos = jnp.min(
+                jnp.where(cur == m, iota, jnp.int32(2**30)), axis=1
+            )
+            tvs.append(m[:, 0])
+            tis.append(jnp.where(jnp.isfinite(m[:, 0]), base + pos, -1))
+            cur = jnp.where(iota == pos[:, None], _INF, cur)
+        cat_d = jnp.concatenate([bd[:, :k], jnp.stack(tvs, 1)], axis=1)
+        cat_i = jnp.concatenate([bi[:, :k], jnp.stack(tis, 1)], axis=1)
+        iota2 = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+        nvs, nis = [], []
+        for _ in range(k):  # tiny 2k-wide merge with the carried pool
+            m = jnp.min(cat_d, axis=1, keepdims=True)
+            pos = jnp.min(
+                jnp.where(cat_d == m, iota2, jnp.int32(2**30)), axis=1
+            )
+            nvs.append(m[:, 0])
+            nis.append(
+                jnp.max(
+                    jnp.where(iota2 == pos[:, None], cat_i, jnp.int32(-(2**31))),
+                    axis=1,
+                )
+            )
+            cat_d = jnp.where(iota2 == pos[:, None], _INF, cat_d)
+        pad = kp - k
+        nd = jnp.stack(nvs, 1)
+        ni = jnp.stack(nis, 1)
+        if pad:
+            nd = jnp.concatenate([nd, jnp.full((nd.shape[0], pad), _INF)], 1)
+            ni = jnp.concatenate(
+                [ni, jnp.full((ni.shape[0], pad), -1, jnp.int32)], 1
+            )
+        bd[:] = nd
+        bi[:] = ni
+
+    @pl.when(j == nt - 1)
+    def _():
+        outd_ref[:] = bd[:]
+        outi_ref[:] = jnp.where(jnp.isfinite(bd[:]), bi[:], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric_name", "tile", "qb", "highest"),
+)
+def _bruteforce_topk_pallas(q, qn, x, valid2d, k, metric_name, tile, qb,
+                            highest):
+    nq, d = q.shape
+    nxp = x.shape[0]
+    kp = round_up(k, 128)
+    grid = (nq // qb, nxp // tile)
+    out_shape = [
+        jax.ShapeDtypeStruct((nq, kp), jnp.float32),
+        jax.ShapeDtypeStruct((nq, kp), jnp.int32),
+    ]
+    outd, outi = pl.pallas_call(
+        functools.partial(
+            _scan_topk_kernel, k=k, kp=kp, tile=tile,
+            metric_name=metric_name, highest=highest,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((qb, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, kp), lambda i, j: (i, 0)),
+            pl.BlockSpec((qb, kp), lambda i, j: (i, 0)),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((qb, kp), jnp.float32),
+            pltpu.VMEM((qb, kp), jnp.int32),
+        ],
+    )(q, qn, x, valid2d)
+    return outd[:, :k], outi[:, :k]
+
+
+def _pallas_scan_tile(nx: int, d: int) -> int:
+    """DB-tile rows sized so x-tile (double-buffered) + the [qb, tile]
+    distance block fit comfortably in ~16 MB VMEM."""
+    budget = 6 * 2**20  # bytes for one x tile
+    t = max(512, min(4096, (budget // (d * 4)) // 512 * 512))
+    return min(t, round_up(nx, 512))
+
+
+# k passes over the distance tile run on the VPU; past this k a sorted
+# approach would win and the XLA path is used instead
+_PALLAS_K_MAX = 64
+
+
 def bruteforce_topk(
     q: jax.Array,
     x: jax.Array,
@@ -109,11 +261,17 @@ def bruteforce_topk(
     metric,
     valid_mask: Optional[jax.Array] = None,
     chunk: Optional[int] = None,
+    precision: str = "highest",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest neighbors of each query by full scan.
 
     q: [nq, d]; x: [nx, d]; valid_mask: optional bool [nx] (False = tombstone).
     Returns (dists [nq, k] ascending, slot_ids [nq, k] int32, -1 past the end).
+
+    precision='highest' (default) keeps f32-exact distance ordering (the
+    user-facing exact operator, bit-parity with the CPU oracle);
+    'default' runs the MXU at bf16-input rate for ~6x more matmul
+    throughput where near-tie reorderings are acceptable.
     """
     metric = Metric.parse(metric)
     from vss_tpu.utils import use_pallas  # late import: respects test env
@@ -125,6 +283,20 @@ def bruteforce_topk(
             jnp.full((nq, k), _INF, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32),
         )
+    if use_pallas() and k <= _PALLAS_K_MAX and nq >= 8:
+        tile = _pallas_scan_tile(nx, d)
+        xp = pad_to(x.astype(jnp.float32), 0, tile)
+        if valid_mask is None:
+            valid_mask = jnp.ones((nx,), jnp.bool_)
+        v2 = pad_to(valid_mask, 0, tile, value=False).astype(jnp.int32)[None, :]
+        qb = min(512, round_up(nq, 8))
+        qp = pad_to(q.astype(jnp.float32), 0, qb)
+        qn = jnp.sum(qp * qp, axis=1, keepdims=True)
+        outd, outi = _bruteforce_topk_pallas(
+            qp, qn, xp, v2, k, metric.value, tile, qb,
+            precision == "highest",
+        )
+        return outd[:nq], outi[:nq]
     chunk = chunk or _choose_chunk(nx)
     x = pad_to(x.astype(jnp.float32), 0, chunk)
     if valid_mask is None:
