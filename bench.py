@@ -152,11 +152,14 @@ def measure_mxu_peaks():
 
     import jax.lax as lax
 
+    # iteration counts sized so the hi-lo delta is >= ~50 ms: relay
+    # dispatch jitter is multi-ms, and smaller deltas produced absurd
+    # 'peaks' (17 exaFLOP/s f32 in one round-2 run)
     fl = 2 * M**3
     f_bf = chain(lax.Precision.DEFAULT, jnp.bfloat16)
-    bf16 = fl / _slope(lambda it: f_bf(a, b, it), 4, 16) / 1e12
+    bf16 = fl / _slope(lambda it: f_bf(a, b, it), 128, 768) / 1e12
     f_hi = chain(lax.Precision.HIGHEST, jnp.float32)
-    f32h = fl / _slope(lambda it: f_hi(a, b, it), 8, 32) / 1e12
+    f32h = fl / _slope(lambda it: f_hi(a, b, it), 32, 160) / 1e12
     log(f"[bench] measured peaks: bf16={bf16:.0f} TF/s, f32-HIGHEST={f32h:.1f} TF/s")
     return bf16, f32h
 
@@ -253,7 +256,7 @@ def main():
             acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
             return acc
 
-        per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 2, 6)
+        per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 4, 20)
         brute_qps = QBATCH / per_scan
         scan_tflops = 2 * QBATCH * N * D / per_scan / 1e12
         scan_gb_s = (N * D * 4) / per_scan / 1e9
@@ -381,12 +384,22 @@ def main():
         log(f"[bench] deleting {n_del} rows + compact + requery...")
         idx.delete(dead.tolist())
         idx.compact()
-        d2, rows2 = idx.search(np.asarray(q_stack[0]), k=K, ef=ef_used)
-        hits2 = sum(
-            len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
-            for a, b in zip(np.asarray(rows2), gt_deleted)
-        )
-        extra["recall_after_compact"] = round(hits2 / gt_deleted.size, 4)
+        # post-compact correctness is a recall bar of its own: escalate ef
+        # independently of the throughput-optimal setting picked above
+        ef2 = max(ef_used, EF)
+        while True:
+            d2, rows2 = idx.search(np.asarray(q_stack[0]), k=K, ef=ef2)
+            hits2 = sum(
+                len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                for a, b in zip(np.asarray(rows2), gt_deleted)
+            )
+            rec2 = hits2 / gt_deleted.size
+            log(f"[bench] post-compact ef={ef2}: recall@{K}={rec2:.4f}")
+            if rec2 >= RECALL_TARGET or ef2 >= 192:
+                break
+            ef2 = min(2 * ef2, 192)
+        extra["recall_after_compact"] = round(rec2, 4)
+        extra["ef_after_compact"] = ef2
         extra["deleted_fraction"] = DEL_FRAC
 
     out = {

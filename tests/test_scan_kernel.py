@@ -26,9 +26,9 @@ def interpret_pallas(monkeypatch):
 
     monkeypatch.setattr(utils, "use_pallas", lambda: True)
     # jit caches key on static args only; clear so the patched call takes
-    topk_mod._bruteforce_topk_pallas.clear_cache()
+    topk_mod._segmin_scan_pallas.clear_cache()
     yield
-    topk_mod._bruteforce_topk_pallas.clear_cache()
+    topk_mod._segmin_scan_pallas.clear_cache()
 
 
 def _oracle(q, x, metric, vm):
@@ -60,6 +60,20 @@ def test_kernel_matches_oracle(interpret_pallas, metric):
     np.testing.assert_allclose(
         np.asarray(d), np.take_along_axis(D, gt, axis=1), rtol=2e-5, atol=2e-5
     )
+
+
+def test_kernel_exact_ties_break_to_lowest_id(interpret_pallas):
+    """Duplicated rows spread across segments: top-k must pick the
+    lowest slot ids among exact ties (the XLA path's contract)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(700, 32)).astype(np.float32)
+    x = base.copy()
+    x[600:650] = x[0]  # 51 identical rows, far apart in the table
+    q = x[0:8]
+    d, i = topk_mod.bruteforce_topk(jnp.asarray(q), jnp.asarray(x), 5, "l2sq")
+    i = np.asarray(i)
+    assert i[0, 0] == 0 and set(i[0, 1:5].tolist()) == {600, 601, 602, 603}
+    np.testing.assert_allclose(np.asarray(d)[0], 0.0, atol=1e-5)
 
 
 def test_kernel_nan_query_and_k_past_n(interpret_pallas):

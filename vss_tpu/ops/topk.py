@@ -108,16 +108,29 @@ def _bruteforce_topk_impl(q, x, valid, k, metric_name, chunk, use_pallas_tiles):
 # Fused Pallas scan: the XLA path above materializes every [nq, chunk]
 # distance block in HBM and the iterative min-k re-reads it k times —
 # measured 101 ms per 512-query batch at 1M x 128 (5 GB/s effective: the
-# scan is distance-MATRIX-bound, not table-bound). This kernel streams the
-# table through VMEM once, scores on the MXU, and keeps the running top-k
-# in VMEM scratch across a sequential grid, so HBM traffic is exactly one
-# table read. A tile whose minimum doesn't beat the current kth-best skips
-# its merge entirely (the common case after the first few tiles).
+# scan was distance-MATRIX-bound, not table-bound).
+#
+# The fast exact algorithm is segment-min winnowing. View each row's 1M
+# distances as segments of 128 lanes. CLAIM: the top-k elements lie inside
+# the k segments with the smallest segment-minima. Proof: if element x is
+# in the top-k but x's segment is not among those k, then >= k segments
+# have a smaller minimum than x's segment's min <= x, and each contributes
+# an element < x — so x has >= k elements below it, contradiction.
+#
+# So the kernel streams the table once, scores a tile on the MXU, reduces
+# it to per-segment minima (ONE extra VPU pass over the distances — this
+# is what makes it fast; extracting exact top-k per tile costs k passes
+# and was measured VPU-bound at ~80 ms/batch), and merges the tiny
+# [qb, tile/128] seg-min lists into a running top-seg pool in VMEM
+# scratch. The final candidate segments (k * 128 rows per query) are
+# re-scored OUTSIDE the kernel in one batched matmul and reduced exactly.
+
+_SEG = 128  # lanes per segment (one vreg row)
 
 
-def _scan_topk_kernel(
+def _scan_segmin_kernel(
     q_ref, qn_ref, x_ref, v_ref, outd_ref, outi_ref, bd, bi,
-    *, k: int, kp: int, tile: int, metric_name: str, highest: bool,
+    *, keep: int, kp: int, tile: int, metric_name: str, highest: bool,
 ):
     metric = Metric.parse(metric_name)
     j = pl.program_id(1)
@@ -136,13 +149,13 @@ def _scan_topk_kernel(
     dots = jax.lax.dot_general(
         q, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    )  # [BQ, tile]
+    )  # [qb, tile]
     ok = v_ref[:] > 0  # [1, tile]
     if metric == Metric.IP:
         d = 1.0 - dots
     else:
         xn = jnp.sum(x * x, axis=1)[None, :]
-        qn = qn_ref[:]  # [BQ, 1]
+        qn = qn_ref[:]  # [qb, 1]
         if metric == Metric.L2SQ:
             d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
         else:  # cosine (zero-vector guards as ops/distance._epilogue)
@@ -150,75 +163,61 @@ def _scan_topk_kernel(
             cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0)
             d = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
     d = jnp.where(ok & ~jnp.isnan(d), d, _INF)
-    base = j * tile
+    qb = d.shape[0]
+    S = tile // _SEG
+    segmin = jnp.min(d.reshape(qb, S, _SEG), axis=2)  # [qb, S]
+    seg0 = j * S
 
-    # merge only when this tile can improve the pool (always on tile 0)
-    beat = (j == 0) | jnp.any(jnp.min(d, axis=1) < bd[:, k - 1])
+    # merge only when some segment can improve the pool (always tile 0)
+    beat = (j == 0) | jnp.any(jnp.min(segmin, axis=1) < bd[:, keep - 1])
 
     @pl.when(beat)
     def _():
-        iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        cur = d
-        tvs, tis = [], []
-        for _ in range(k):  # k (min, first-pos) passes, VMEM-resident
-            m = jnp.min(cur, axis=1, keepdims=True)
-            pos = jnp.min(
-                jnp.where(cur == m, iota, jnp.int32(2**30)), axis=1
-            )
-            tvs.append(m[:, 0])
-            tis.append(jnp.where(jnp.isfinite(m[:, 0]), base + pos, -1))
-            cur = jnp.where(iota == pos[:, None], _INF, cur)
-        cat_d = jnp.concatenate([bd[:, :k], jnp.stack(tvs, 1)], axis=1)
-        cat_i = jnp.concatenate([bi[:, :k], jnp.stack(tis, 1)], axis=1)
-        iota2 = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+        cat_d = jnp.concatenate([bd[:, :keep], segmin], axis=1)
+        ids = seg0 + jax.lax.broadcasted_iota(jnp.int32, (qb, S), 1)
+        cat_i = jnp.concatenate([bi[:, :keep], ids], axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
         nvs, nis = [], []
-        for _ in range(k):  # tiny 2k-wide merge with the carried pool
+        for _ in range(keep):  # keep+S-wide passes: tiny (<= keep+16 lanes)
             m = jnp.min(cat_d, axis=1, keepdims=True)
             pos = jnp.min(
-                jnp.where(cat_d == m, iota2, jnp.int32(2**30)), axis=1
+                jnp.where(cat_d == m, iota, jnp.int32(2**30)), axis=1
             )
+            hit = iota == pos[:, None]
             nvs.append(m[:, 0])
             nis.append(
-                jnp.max(
-                    jnp.where(iota2 == pos[:, None], cat_i, jnp.int32(-(2**31))),
-                    axis=1,
-                )
+                jnp.max(jnp.where(hit, cat_i, jnp.int32(-(2**31))), axis=1)
             )
-            cat_d = jnp.where(iota2 == pos[:, None], _INF, cat_d)
-        pad = kp - k
+            cat_d = jnp.where(hit, _INF, cat_d)
         nd = jnp.stack(nvs, 1)
         ni = jnp.stack(nis, 1)
+        ni = jnp.where(jnp.isfinite(nd), ni, -1)
+        pad = kp - keep
         if pad:
-            nd = jnp.concatenate([nd, jnp.full((nd.shape[0], pad), _INF)], 1)
-            ni = jnp.concatenate(
-                [ni, jnp.full((ni.shape[0], pad), -1, jnp.int32)], 1
-            )
+            nd = jnp.concatenate([nd, jnp.full((qb, pad), _INF)], 1)
+            ni = jnp.concatenate([ni, jnp.full((qb, pad), -1, jnp.int32)], 1)
         bd[:] = nd
         bi[:] = ni
 
     @pl.when(j == nt - 1)
     def _():
         outd_ref[:] = bd[:]
-        outi_ref[:] = jnp.where(jnp.isfinite(bd[:]), bi[:], -1)
+        outi_ref[:] = bi[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric_name", "tile", "qb", "highest"),
+    static_argnames=("keep", "metric_name", "tile", "qb", "highest"),
 )
-def _bruteforce_topk_pallas(q, qn, x, valid2d, k, metric_name, tile, qb,
-                            highest):
+def _segmin_scan_pallas(q, qn, x, valid2d, keep, metric_name, tile, qb,
+                        highest):
     nq, d = q.shape
     nxp = x.shape[0]
-    kp = round_up(k, 128)
+    kp = round_up(keep, 128)
     grid = (nq // qb, nxp // tile)
-    out_shape = [
-        jax.ShapeDtypeStruct((nq, kp), jnp.float32),
-        jax.ShapeDtypeStruct((nq, kp), jnp.int32),
-    ]
     outd, outi = pl.pallas_call(
         functools.partial(
-            _scan_topk_kernel, k=k, kp=kp, tile=tile,
+            _scan_segmin_kernel, keep=keep, kp=kp, tile=tile,
             metric_name=metric_name, highest=highest,
         ),
         grid=grid,
@@ -232,21 +231,90 @@ def _bruteforce_topk_pallas(q, qn, x, valid2d, k, metric_name, tile, qb,
             pl.BlockSpec((qb, kp), lambda i, j: (i, 0)),
             pl.BlockSpec((qb, kp), lambda i, j: (i, 0)),
         ],
-        out_shape=out_shape,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, kp), jnp.float32),
+            jax.ShapeDtypeStruct((nq, kp), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((qb, kp), jnp.float32),
             pltpu.VMEM((qb, kp), jnp.int32),
         ],
     )(q, qn, x, valid2d)
-    return outd[:, :k], outi[:, :k]
+    return outd[:, :keep], outi[:, :keep]
 
 
-def _pallas_scan_tile(nx: int, d: int) -> int:
-    """DB-tile rows sized so x-tile (double-buffered) + the [qb, tile]
-    distance block fit comfortably in ~16 MB VMEM."""
-    budget = 6 * 2**20  # bytes for one x tile
-    t = max(512, min(4096, (budget // (d * 4)) // 512 * 512))
-    return min(t, round_up(nx, 512))
+@functools.partial(jax.jit, static_argnames=("k", "metric_name", "highest"))
+def _rescore_segments(q, segs, x, valid, k, metric_name, highest):
+    """Exact top-k within each query's candidate segments. segs [nq, keep]
+    (segment ids, -1 pad); gathers keep*128 rows per query (consecutive
+    128-row blocks — near-stream gather), scores in one batched matmul,
+    reduces with the iterative min-k. Chunked over queries so the
+    gathered [cq, keep*128, d] block stays a few hundred MB at worst."""
+    nq = q.shape[0]
+    keep = segs.shape[1]
+    limit = max(8, (1 << 26) // max(keep * _SEG * x.shape[1], 1))
+    cq = min(nq, 1 << (limit.bit_length() - 1))  # pow2 -> divides padded nq
+    if nq > cq and nq % cq == 0:
+        qs = q.reshape(nq // cq, cq, -1)
+        ss = segs.reshape(nq // cq, cq, keep)
+        bd, bi = jax.lax.map(
+            lambda ab: _rescore_block(ab[0], ab[1], x, valid, k,
+                                      metric_name, highest),
+            (qs, ss),
+        )
+        return bd.reshape(nq, k), bi.reshape(nq, k)
+    return _rescore_block(q, segs, x, valid, k, metric_name, highest)
+
+
+def _rescore_block(q, segs, x, valid, k, metric_name, highest):
+    metric = Metric.parse(metric_name)
+    nq, d = q.shape
+    keep = segs.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (nq, keep, _SEG), 2)
+    rows = jnp.maximum(segs, 0)[:, :, None] * _SEG + lanes  # [nq, keep, 128]
+    rows = rows.reshape(nq, keep * _SEG)
+    rows = jnp.where(jnp.repeat(segs >= 0, _SEG, axis=1), rows, -1)
+    safe = jnp.minimum(jnp.maximum(rows, 0), x.shape[0] - 1)
+    xg = jnp.take(x, safe, axis=0)  # [nq, C, d]
+    prec = (
+        jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+    )
+    dots = jax.lax.dot_general(
+        xg, q, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [nq, C]
+    ok = (rows >= 0) & jnp.take(valid, safe)
+    if metric == Metric.IP:
+        dd = 1.0 - dots
+    else:
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        xn = jnp.sum(xg * xg, axis=2)
+        if metric == Metric.L2SQ:
+            dd = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
+        else:
+            denom = jnp.sqrt(qn * xn)
+            cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+            dd = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
+    dd = jnp.where(ok & ~jnp.isnan(dd), dd, _INF)
+    # exact min-k with lowest-id tie break: bias by tiny id ordering is
+    # unnecessary — _iter_min_k's argmin takes the first (lowest row)
+    # occurrence, and rows are laid out ascending per query
+    best_d, best_p = _iter_min_k(dd, k) if k <= _ITER_K_MAX else (
+        lambda nt: (-nt[0], nt[1])
+    )(jax.lax.top_k(-dd, k))
+    best_i = jnp.take_along_axis(rows, best_p, axis=1)
+    return best_d, jnp.where(jnp.isfinite(best_d), best_i, -1)
+
+
+def _pallas_scan_tile(nx: int, d: int, qb: int) -> int:
+    """DB-tile rows sized for the 16 MB VMEM budget. Mosaic's scoped
+    allocation for the kernel measured ~4*tile*(8*qb + 2*d) bytes at
+    qb=512/d=128 (the double-buffered x tile plus ~8 live [qb, tile]
+    f32 temporaries across the matmul + epilogue + seg-min)."""
+    budget = 13 * 2**20
+    t = budget // (4 * (8 * qb + 2 * d))
+    t = max(_SEG * 2, min(4096, t // 256 * 256))
+    return min(t, round_up(nx, 256))
 
 
 # k passes over the distance tile run on the VPU; past this k a sorted
@@ -283,18 +351,30 @@ def bruteforce_topk(
             jnp.full((nq, k), _INF, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32),
         )
-    if use_pallas() and k <= _PALLAS_K_MAX and nq >= 8:
-        tile = _pallas_scan_tile(nx, d)
-        xp = pad_to(x.astype(jnp.float32), 0, tile)
+    if use_pallas() and k <= _PALLAS_K_MAX and nq >= 8 and nx > 4 * _SEG:
+        highest = precision == "highest"
+        # qb=256 keeps Mosaic's scoped-vmem estimate well under the 16 MB
+        # limit (512 measured 18.6M at tile 768); the cost is one extra
+        # table stream per 512 queries, dwarfed by the matmul itself
+        qb = min(256, round_up(nq, 8))
+        tile = _pallas_scan_tile(nx, d, qb)
+        xf = x.astype(jnp.float32)
+        xp = pad_to(xf, 0, tile)
         if valid_mask is None:
             valid_mask = jnp.ones((nx,), jnp.bool_)
-        v2 = pad_to(valid_mask, 0, tile, value=False).astype(jnp.int32)[None, :]
-        qb = min(512, round_up(nq, 8))
+        vp = pad_to(valid_mask, 0, tile, value=False)
+        v2 = vp.astype(jnp.int32)[None, :]
         qp = pad_to(q.astype(jnp.float32), 0, qb)
         qn = jnp.sum(qp * qp, axis=1, keepdims=True)
-        outd, outi = _bruteforce_topk_pallas(
-            qp, qn, xp, v2, k, metric.value, tile, qb,
-            precision == "highest",
+        # keep k candidate segments at HIGHEST (provably exact; see the
+        # seg-min claim above) — at DEFAULT precision keep 2k so near-tie
+        # bf16 reorderings between phases cannot drop a true winner
+        keep = min(k if highest else 2 * k, xp.shape[0] // _SEG)
+        _, segs = _segmin_scan_pallas(
+            qp, qn, xp, v2, keep, metric.value, tile, qb, highest
+        )
+        outd, outi = _rescore_segments(
+            qp, segs, xp, vp, k, metric.value, highest
         )
         return outd[:nq], outi[:nq]
     chunk = chunk or _choose_chunk(nx)
