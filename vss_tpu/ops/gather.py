@@ -29,7 +29,11 @@ __all__ = ["gather_rows", "gather_rows_pallas"]
 _CHUNK = 512
 # Outstanding DMAs per program. Each copy is one table row (128B-4KB);
 # deep windows keep the issue pipeline and several DMA engines busy.
-_NSEM = 32
+# Tunable for on-chip sweeps: the beam gather measured ~18M rows/s
+# (issue-rate-bound, ~2% of stream HBM BW) at the default window.
+import os as _os
+
+_NSEM = int(_os.environ.get("VSS_GATHER_NSEM", "32"))
 
 
 def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, chunk: int, skip_neg: bool):
@@ -310,7 +314,7 @@ def gather_distances_pallas(
     q: jax.Array,
     metric,
     q_norms_sq=None,
-    qb: int = 8,
+    qb: int = int(_os.environ.get("VSS_GATHER_QB", "8")),
     packing: int = 1,
 ) -> jax.Array:
     """Fused `distances(q[b], table[ids[b, c]])` -> [B, C] f32; +inf where
