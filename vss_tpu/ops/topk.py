@@ -351,7 +351,7 @@ def bruteforce_topk(
             jnp.full((nq, k), _INF, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32),
         )
-    if use_pallas() and k <= _PALLAS_K_MAX and nq >= 8 and nx > 4 * _SEG:
+    if use_pallas() and k <= _PALLAS_K_MAX and nx > 4 * _SEG:
         highest = precision == "highest"
         # qb=256 keeps Mosaic's scoped-vmem estimate well under the 16 MB
         # limit (512 measured 18.6M at tile 768); the cost is one extra
