@@ -131,6 +131,7 @@ _SEG = 128  # lanes per segment (one vreg row)
 def _scan_segmin_kernel(
     q_ref, qn_ref, x_ref, v_ref, outd_ref, outi_ref, bd, bi,
     *, keep: int, kp: int, tile: int, metric_name: str, highest: bool,
+    subt: int = 1,
 ):
     metric = Metric.parse(metric_name)
     j = pl.program_id(1)
@@ -141,31 +142,43 @@ def _scan_segmin_kernel(
         bd[:] = jnp.full_like(bd, _INF)
         bi[:] = jnp.full_like(bi, -1)
 
-    x = x_ref[:]
     q = q_ref[:]
+    qb = q.shape[0]
     prec = (
         jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
     )
-    dots = jax.lax.dot_general(
-        q, x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )  # [qb, tile]
-    ok = v_ref[:] > 0  # [1, tile]
-    if metric == Metric.IP:
-        d = 1.0 - dots
-    else:
-        xn = jnp.sum(x * x, axis=1)[None, :]
-        qn = qn_ref[:]  # [qb, 1]
-        if metric == Metric.L2SQ:
-            d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
-        else:  # cosine (zero-vector guards as ops/distance._epilogue)
-            denom = jnp.sqrt(qn * xn)
-            cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0)
-            d = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
-    d = jnp.where(ok & ~jnp.isnan(d), d, _INF)
-    qb = d.shape[0]
+    sub = tile // subt
+
+    def one_subtile(s):
+        """Distances + seg-mins for sub-tile s: bounds the live [qb, sub]
+        temporaries so the x block can be large (fewer grid steps — the
+        per-step fixed cost measured ~33 us, dominating small tiles)."""
+        x = x_ref[pl.ds(s * sub, sub), :]
+        dots = jax.lax.dot_general(
+            q, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [qb, sub]
+        ok = v_ref[:, pl.ds(s * sub, sub)] > 0  # [1, sub]
+        if metric == Metric.IP:
+            d = 1.0 - dots
+        else:
+            xn = jnp.sum(x * x, axis=1)[None, :]
+            qn = qn_ref[:]  # [qb, 1]
+            if metric == Metric.L2SQ:
+                d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
+            else:  # cosine (zero-vector guards as ops/distance._epilogue)
+                denom = jnp.sqrt(qn * xn)
+                cos = jnp.where(
+                    denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0
+                )
+                d = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
+        d = jnp.where(ok & ~jnp.isnan(d), d, _INF)
+        return jnp.min(d.reshape(qb, sub // _SEG, _SEG), axis=2)
+
+    segmin = jnp.concatenate(
+        [one_subtile(s) for s in range(subt)], axis=1
+    )  # [qb, S]
     S = tile // _SEG
-    segmin = jnp.min(d.reshape(qb, S, _SEG), axis=2)  # [qb, S]
     seg0 = j * S
 
     # merge only when some segment can improve the pool (always tile 0)
@@ -207,10 +220,10 @@ def _scan_segmin_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("keep", "metric_name", "tile", "qb", "highest"),
+    static_argnames=("keep", "metric_name", "tile", "qb", "highest", "subt"),
 )
 def _segmin_scan_pallas(q, qn, x, valid2d, keep, metric_name, tile, qb,
-                        highest):
+                        highest, subt=1):
     nq, d = q.shape
     nxp = x.shape[0]
     kp = round_up(keep, 128)
@@ -218,7 +231,7 @@ def _segmin_scan_pallas(q, qn, x, valid2d, keep, metric_name, tile, qb,
     outd, outi = pl.pallas_call(
         functools.partial(
             _scan_segmin_kernel, keep=keep, kp=kp, tile=tile,
-            metric_name=metric_name, highest=highest,
+            metric_name=metric_name, highest=highest, subt=subt,
         ),
         grid=grid,
         in_specs=[
@@ -357,7 +370,15 @@ def bruteforce_topk(
         # limit (512 measured 18.6M at tile 768); the cost is one extra
         # table stream per 512 queries, dwarfed by the matmul itself
         qb = min(256, round_up(nq, 8))
-        tile = _pallas_scan_tile(nx, d, qb)
+        # sub-tiled steps: live temporaries scale with `sub`, the x block
+        # (and so the grid-step count) with sub*subt — per-step fixed
+        # cost measured ~33 us, so fewer, larger steps win
+        import os as _os
+
+        subt = max(1, int(_os.environ.get("VSS_SCAN_SUBT", "8")))
+        sub = max(256, _pallas_scan_tile(nx, d, qb) // 2)
+        subt = max(1, min(subt, round_up(nx, 256) // sub))
+        tile = sub * subt
         xf = x.astype(jnp.float32)
         xp = pad_to(xf, 0, tile)
         if valid_mask is None:
@@ -371,7 +392,7 @@ def bruteforce_topk(
         # bf16 reorderings between phases cannot drop a true winner
         keep = min(k if highest else 2 * k, xp.shape[0] // _SEG)
         _, segs = _segmin_scan_pallas(
-            qp, qn, xp, v2, keep, metric.value, tile, qb, highest
+            qp, qn, xp, v2, keep, metric.value, tile, qb, highest, subt
         )
         outd, outi = _rescore_segments(
             qp, segs, xp, vp, k, metric.value, highest
