@@ -115,21 +115,23 @@ def _knn_all(
             best_d, best_i = carry
             x_tile, v_tile, t_idx = inp
             d = _dist_tile(q, x_tile, metric, prec).astype(dd)  # [block, tile]
-            ids = t_idx * tile + jax.lax.broadcasted_iota(
-                jnp.int32, (1, tile), 1
-            )
-            ids = jnp.broadcast_to(ids, (block, tile))
-            bad = ~v_tile[None, :] | (ids == ids_b[:, None])
+            # mask invalid columns and each query's own row WITHOUT
+            # materializing a [block, tile] i32 id matrix (it cost an
+            # extra ~1 TB of HBM traffic per 1M-row pass): compare the
+            # column iota against the query's tile-local self index
+            self_col = ids_b - t_idx * tile  # [block], outside tile -> no match
+            iota = jax.lax.broadcasted_iota(jnp.int32, (block, tile), 1)
+            bad = ~v_tile[None, :] | (iota == self_col[:, None])
             d = jnp.where(bad, jnp.asarray(_INF, dd), d)
             if approx:
                 td, tp = jax.lax.approx_min_k(d, C, recall_target=0.98)
             else:
                 neg, tp = jax.lax.top_k(-d, C)
                 td = -neg
-            ti = jnp.take_along_axis(ids, tp, axis=1)
+            ti = t_idx * tile + tp  # positions ARE tile-local ids
             # exact merge of the running best with this tile's winners
             cat_d = jnp.concatenate([best_d, td], axis=1)
-            cat_i = jnp.concatenate([best_i, ti], axis=1)
+            cat_i = jnp.concatenate([best_i, ti.astype(jnp.int32)], axis=1)
             sd, si = jax.lax.sort((cat_d, cat_i), dimension=1, num_keys=1)
             return (sd[:, :C], si[:, :C]), None
 

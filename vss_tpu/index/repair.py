@@ -114,14 +114,30 @@ def repair_connectivity(
     the global nearest. The BFS then RESUMES from the newly bridged
     nodes instead of restarting.
     """
+    import os
+    import sys
+    import time as _time
+
+    _dbg = os.environ.get("VSS_EXACT_DEBUG") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        if _dbg:
+            print(
+                f"[repair] {label}: {_time.perf_counter() - _t0:.1f}s",
+                file=sys.stderr, flush=True,
+            )
+
     entry = int(np.asarray(graph.entry))
     if entry < 0:
         return graph, 0
     adj = np.asarray(graph.adj0).copy()
+    _mark("adj download")
     occupied = np.asarray(graph.slot_to_rowid >= 0)
     reached = np.zeros(adj.shape[0], bool)
     _bfs_host(adj, np.asarray([entry]), reached)
     reached &= occupied
+    _mark("initial BFS")
     total = 0
     tape_f32 = graph.vectors.astype(jnp.float32)
     last = config.m0 - 1
@@ -162,6 +178,7 @@ def repair_connectivity(
         u = up[: idx.size]
         live = r >= 0
         u, r = u[live], r[live]
+        _mark(f"round scans ({idx.size} dark, {ridx.size} anchors)")
         if u.size == 0:
             break
         adj[u, last] = r
@@ -173,6 +190,8 @@ def repair_connectivity(
         _bfs_host(adj, u.astype(np.int64), reached)
         reached &= occupied
         total += int(u.size)
+        _mark(f"round BFS (total bridged {total})")
     if total:
         graph = dataclasses.replace(graph, adj0=jnp.asarray(adj))
+    _mark("adj upload")
     return graph, total
