@@ -286,13 +286,14 @@ def _upper_select(sd, si_local, mslots, tape_f32, config):
 _INCOMING_CAP = 16  # reverse-edge fan-in accepted per target (one pass)
 
 
-@functools.partial(jax.jit, static_argnames=("cap_rows",))
-def _group_incoming(node_slots, forward, cap_rows: int):
-    """Group reverse edges by target: returns incoming [cap_rows,
-    _INCOMING_CAP] i32 (-1 padded), where incoming[t] lists up to
-    _INCOMING_CAP sources that chose slot t as a forward neighbor.
-    One global sort of all A*m edges — the TPU-shaped replacement for
-    the reference's per-insert `reconnect_neighbor_nodes_` walks."""
+@functools.partial(jax.jit, static_argnames=("cap_rows", "cap"))
+def _group_incoming(node_slots, forward, cap_rows: int, cap: int = _INCOMING_CAP):
+    """Group reverse edges by target: returns incoming [cap_rows, cap]
+    i32 (-1 padded), where incoming[t] lists up to `cap` sources that
+    chose slot t as a forward neighbor. One global sort of all A*m edges
+    — the TPU-shaped replacement for the reference's per-insert
+    `reconnect_neighbor_nodes_` walks. Also reused by index/repair.py as
+    a device-side reverse adjacency for reachability sweeps."""
     A, m = forward.shape
     E = A * m
     src = jnp.repeat(node_slots, m)
@@ -306,8 +307,8 @@ def _group_incoming(node_slots, forward, cap_rows: int):
     )
     first_idx = jax.lax.cummax(jnp.where(seg_start, iota, 0))
     rank = iota - first_idx
-    ok = (sorted_t != 2**31 - 1) & (rank < _INCOMING_CAP)
-    incoming = jnp.full((cap_rows + 1, _INCOMING_CAP), -1, jnp.int32)
+    ok = (sorted_t != 2**31 - 1) & (rank < cap)
+    incoming = jnp.full((cap_rows + 1, cap), -1, jnp.int32)
     incoming = incoming.at[
         jnp.where(ok, sorted_t, cap_rows), jnp.where(ok, rank, 0)
     ].set(jnp.where(ok, src_sorted, -1))

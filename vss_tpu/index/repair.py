@@ -17,6 +17,11 @@ first-class pass:
      bridge edge into the last adjacency slot of each endpoint. One round
      reaches every bridged node; intra-component kNN edges then spread
      reachability to its whole cluster, so a handful of rounds converges.
+     Reachability here runs on device as gather sweeps over a capped
+     REVERSE adjacency (`_sweep_reachable_rev`) — conservative (the cap
+     can only under-report reach, erring toward harmless extra bridges)
+     and transfer-free, unlike the earlier host-BFS design that moved
+     the full adjacency across the relay twice (~106 s of the 1M build).
 
 Used by the exact bulk builder (`index/exact_build.py`) and after
 `compact()` at high delete fractions, where tombstone removal can sever
@@ -71,24 +76,34 @@ def reachable_mask(graph: HNSWGraph, max_sweeps: int = 64) -> jax.Array:
     return _reachable_impl(graph.adj0, graph.entry, occupied, max_sweeps)
 
 
-def _bfs_host(adj: np.ndarray, seeds: np.ndarray, reached: np.ndarray):
-    """Frontier BFS over the forward adjacency, in place on `reached`.
-    numpy is the right engine for this: the work is O(E) pointer chasing
-    with data-dependent frontiers — the one shape the TPU's scatter units
-    handle badly (a device-side sweep formulation measured ~170s at 1M
-    where this takes well under a second)."""
-    frontier = seeds[~reached[seeds]] if seeds.size else seeds
-    reached[frontier] = True
-    while frontier.size:
-        nxt = adj[frontier].reshape(-1)
-        nxt = nxt[nxt >= 0]
-        nxt = np.unique(nxt)
-        nxt = nxt[~reached[nxt]]
-        reached[nxt] = True
-        frontier = nxt
-
-
 _MAX_ANCHORS = 65536
+_REV_CAP = 32  # incoming edges kept per node for device reachability
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def _sweep_reachable_rev(rev, reached, occupied, max_sweeps: int):
+    """Fixpoint reachability by GATHER sweeps over a capped reverse
+    adjacency: node i becomes reached when any of its (recorded) incoming
+    sources is reached. All-gather, no scatter — the formulation the TPU
+    likes (a scatter-max sweep measured ~170 s at 1M; this runs in
+    seconds). The cap makes reachability CONSERVATIVE (missing incoming
+    edges can only under-report), which errs toward harmless extra
+    bridges, never missed dark nodes."""
+
+    def cond(st):
+        i, r, ch = st
+        return (i < max_sweeps) & ch
+
+    def body(st):
+        i, r, _ = st
+        src_ok = jnp.take(r, jnp.maximum(rev, 0), axis=0) & (rev >= 0)
+        nr = r | (src_ok.any(axis=1) & occupied)
+        return i + 1, nr, jnp.any(nr != r)
+
+    _, r, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), reached, jnp.bool_(True))
+    )
+    return r
 
 
 def repair_connectivity(
@@ -100,19 +115,22 @@ def repair_connectivity(
 ) -> tuple[HNSWGraph, int]:
     """Bridge unreachable nodes into the entry component.
 
-    Returns (graph, n_bridged). The adjacency is pulled to the host once
-    and reachability runs as frontier BFS there (`_bfs_host`); only the
-    nearest-reachable-node scans run on device. Each round: pick up to
-    `max_bridges_per_round` unreachable nodes (an evenly-strided sample
-    when there are more — one bridge per disconnected component
-    suffices, because intra-component edges spread reachability to the
-    rest), find each one's nearest REACHABLE ANCHOR and write a
-    bidirectional bridge into the tail adjacency slots of both endpoints.
-    The anchors are a strided sample (≤65536) of the reached set packed
-    densely on device — scanning the full tape with a validity mask
-    measured ~6x slower at 1M and bridges only need a *near* anchor, not
-    the global nearest. The BFS then RESUMES from the newly bridged
-    nodes instead of restarting.
+    Returns (graph, n_bridged). Everything heavy stays on device: a
+    capped reverse adjacency is built once (one global edge sort,
+    `exact_build._group_incoming`) and reachability runs as gather
+    sweeps over it (`_sweep_reachable_rev`) — the previous host-BFS
+    design downloaded and re-uploaded the full 128 MB adjacency through
+    the relay and dominated the 1M build profile (~106 s). Each round:
+    pick up to `max_bridges_per_round` unreachable nodes (an
+    evenly-strided sample when there are more — one bridge per
+    disconnected component suffices, because intra-component edges
+    spread reachability to the rest), find each one's nearest REACHABLE
+    ANCHOR and write a bidirectional bridge into the tail adjacency
+    slots of both endpoints. The anchors are a strided sample (≤65536)
+    of the reached set packed densely on device — scanning the full tape
+    with a validity mask measured ~6x slower at 1M and bridges only need
+    a *near* anchor, not the global nearest. Sweeps RESUME from the
+    bridged nodes (set reached directly) instead of restarting.
     """
     import os
     import sys
@@ -128,21 +146,27 @@ def repair_connectivity(
                 file=sys.stderr, flush=True,
             )
 
+    from vss_tpu.index.exact_build import _group_incoming
+
     entry = int(np.asarray(graph.entry))
     if entry < 0:
         return graph, 0
-    adj = np.asarray(graph.adj0).copy()
-    _mark("adj download")
-    occupied = np.asarray(graph.slot_to_rowid >= 0)
-    reached = np.zeros(adj.shape[0], bool)
-    _bfs_host(adj, np.asarray([entry]), reached)
-    reached &= occupied
-    _mark("initial BFS")
+    cap = graph.adj0.shape[0]
+    adj = graph.adj0
+    occupied_d = graph.slot_to_rowid >= 0
+    rev = _group_incoming(
+        jnp.arange(cap, dtype=jnp.int32), adj, cap, _REV_CAP
+    )
+    reached_d = jnp.zeros((cap,), jnp.bool_).at[entry].set(True)
+    reached_d = _sweep_reachable_rev(rev, reached_d, occupied_d, 64)
+    _mark("reverse adjacency + initial sweeps")
+    occupied = np.asarray(occupied_d)
     total = 0
     tape_f32 = graph.vectors.astype(jnp.float32)
     last = config.m0 - 1
     spread = min(4, config.m0)
     for _ in range(max_rounds):
+        reached = np.asarray(reached_d) & occupied
         idx = np.nonzero(occupied & ~reached)[0]
         if idx.size == 0 or not reached.any():
             break
@@ -181,17 +205,20 @@ def repair_connectivity(
         _mark(f"round scans ({idx.size} dark, {ridx.size} anchors)")
         if u.size == 0:
             break
-        adj[u, last] = r
+        uj = jnp.asarray(u.astype(np.int32))
+        rj = jnp.asarray(r.astype(np.int32))
+        adj = adj.at[uj, last].set(rj)
         # spread reverse bridges over the last few slots: many dark nodes
         # often share one nearest anchor, and distinct columns let
         # several of their bridges survive instead of one
-        adj[r, last - (u % spread)] = u
-        # the reverse bridge r -> u makes every u reachable; resume BFS
-        _bfs_host(adj, u.astype(np.int64), reached)
-        reached &= occupied
+        adj = adj.at[rj, last - (uj % spread)].set(uj)
+        # the reverse bridge r -> u makes every u reachable: mark them
+        # directly and resume sweeps so their components light up
+        reached_d = _sweep_reachable_rev(
+            rev, reached_d.at[uj].set(True), occupied_d, 64
+        )
         total += int(u.size)
-        _mark(f"round BFS (total bridged {total})")
+        _mark(f"round sweeps (total bridged {total})")
     if total:
-        graph = dataclasses.replace(graph, adj0=jnp.asarray(adj))
-    _mark("adj upload")
+        graph = dataclasses.replace(graph, adj0=adj)
     return graph, total

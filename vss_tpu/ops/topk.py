@@ -376,7 +376,9 @@ def bruteforce_topk(
         import os as _os
 
         subt = max(1, int(_os.environ.get("VSS_SCAN_SUBT", "8")))
-        sub = max(256, _pallas_scan_tile(nx, d, qb) // 2)
+        # halve then round to 256: subt=8 at sub=640 measured 16.53M
+        # scoped vmem (540K over); sub=512 fits
+        sub = max(256, (_pallas_scan_tile(nx, d, qb) // 2) // 256 * 256)
         subt = max(1, min(subt, round_up(nx, 256) // sub))
         tile = sub * subt
         xf = x.astype(jnp.float32)
