@@ -404,11 +404,16 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
     if p.accept_kw("WHERE"):
         node = Filter(node, p.expr())
     group_keys: list[str] = []
+    having = None
     if p.accept_kw("GROUP"):
         p.expect_kw("BY")
         group_keys.append(p.ident())
         while p.accept_op(","):
             group_keys.append(p.ident())
+        if p.accept_kw("HAVING"):
+            # evaluated over the aggregated chunk: references group keys
+            # and aggregate aliases (e.g. HAVING cnt > 2)
+            having = p.expr()
     order = None
     ascending = True
     order_tail = None
@@ -477,7 +482,15 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
         }
         if ext:
             node = Extend(node, ext)
-        return GroupByAggregate(node, group_keys, _agg_items(aggs))
+        out: PlanNode = GroupByAggregate(node, group_keys, _agg_items(aggs))
+        if having is not None:
+            out = Filter(out, having)
+        if order is not None:
+            out = TopK(out, order, limit if limit is not None else 1 << 30,
+                       ascending, tail=order_tail)
+        elif limit is not None:
+            out = Limit(out, limit)
+        return out
 
     if items and all(_is_agg(e) for _, e in items):
         from vss_tpu.query.ir import SimpleAggregate
