@@ -25,6 +25,9 @@ import time
 
 import numpy as np
 
+# runnable as `python benchmarks/bench_beam_load.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
