@@ -367,10 +367,29 @@ def _merge_backlinks(
     return jax.lax.fori_loop(0, n_chunks, body, adj)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _group_incoming_local(node_slots, forward, cap: int = _INCOMING_CAP):
+    """`_group_incoming` in the LEVEL-LOCAL id space: node_slots [A]
+    must be sorted ascending (np.where / arange order — both callers).
+    Targets outside the level map to -1. Avoids the capacity-sized
+    [cap_rows+1, cap] scatter the global version pays — at 1M capacity
+    that was a 64 MB allocation per (tiny) upper level."""
+    A, m = forward.shape
+    tgt = forward.reshape(-1)
+    loc = jnp.searchsorted(node_slots, jnp.maximum(tgt, 0))
+    hit = (
+        (tgt >= 0)
+        & (loc < A)
+        & (jnp.take(node_slots, jnp.minimum(loc, A - 1)) == tgt)
+    )
+    local_fwd = jnp.where(hit, loc, -1).reshape(A, m).astype(jnp.int32)
+    return _group_incoming(node_slots, local_fwd, A, cap)
+
+
 def _backlink_pass(
     graph: HNSWGraph,
     config: HNSWConfig,
-    node_slots: jax.Array,  # [A] i32 targets == sources at this level
+    node_slots: jax.Array,  # [A] i32 targets == sources, SORTED ascending
     adj_rows: jax.Array,  # [A] i32 rows of the layer adjacency array
     forward: jax.Array,  # [A, m] i32 forward links (pre-backlink)
     tape_f32: jax.Array,
@@ -379,9 +398,8 @@ def _backlink_pass(
 ) -> HNSWGraph:
     adj = graph.adj0 if lev == 0 else graph.upper_adj
     cap = config.m0 if lev == 0 else config.m
-    # incoming is indexed by SLOT; remap to the per-target list order
-    inc_by_slot = _group_incoming(node_slots, forward, graph.capacity)
-    incoming = jnp.take(inc_by_slot, node_slots, axis=0)
+    # grouped in level-local order == per-target list order
+    incoming = _group_incoming_local(node_slots, forward)
     A = node_slots.shape[0]
     chunk = min(chunk, round_up(A, 256))
     n_chunks = cdiv(A, chunk)
