@@ -29,14 +29,18 @@ index, and its tests assert HNSW_INDEX_SCAN / HNSW_INDEX_JOIN in EXPLAIN.
 """
 from __future__ import annotations
 
-# Sequential stream rate of the exact-scan kernel (bytes/s). Measured
-# ~600 GB/s on v5e at 1M x 128 f32 (docs/BENCH.md); CPU runs only need
-# the *ratio* to RANDOM_BW to make the same relative choice.
-STREAM_BW = 600e9
-# Effective random row-gather rate of the beam search (bytes/s),
-# including the fused-kernel DMA path. Fit so that 512 queries over
-# 1M x 128 f32 cost ~50-80 ms, matching the measured beam throughput.
-RANDOM_BW = 12e9
+# EFFECTIVE rate of the exact-scan kernel over the table (bytes/s).
+# Round-2 measured: 29.2 ms per 512-query batch at 1M x 128 f32 at
+# HIGHEST precision = 17.5 GB/s effective (the kernel is grid-step- and
+# 6-pass-matmul-bound, not HBM-bound; raw HBM streams at 800 GB/s).
+# Re-fit when the kernel improves — CPU runs only need the *ratio* to
+# RANDOM_BW to make the same relative choice.
+STREAM_BW = 17.5e9
+# Effective random row-gather rate of the beam search (bytes/s) through
+# the fused DMA kernel, fit to the measured ~55-65 us/query at ef=32
+# over 1M x 128 (the done-latch retires queries before max_iters, so the
+# effective rate exceeds the raw ~9.4 GB/s gather figure).
+RANDOM_BW = 20e9
 # Fixed per-query-per-search overhead (s): while_loop step latency that
 # doesn't scale with row width.
 QUERY_OVERHEAD = 8e-6
