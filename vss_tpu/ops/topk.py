@@ -375,7 +375,12 @@ def bruteforce_topk(
         # cost measured ~33 us, so fewer, larger steps win
         import os as _os
 
-        subt = max(1, int(_os.environ.get("VSS_SCAN_SUBT", "8")))
+        # DEFAULT precision keeps bf16 input copies live alongside the
+        # f32 sub-tile buffers (measured 17.5M scoped vmem at subt=8
+        # where HIGHEST fit) — give it a smaller x block
+        subt = max(1, int(_os.environ.get(
+            "VSS_SCAN_SUBT", "8" if highest else "6"
+        )))
         # halve then round to 256: subt=8 at sub=640 measured 16.53M
         # scoped vmem (540K over); sub=512 fits
         sub = max(256, (_pallas_scan_tile(nx, d, qb) // 2) // 256 * 256)
