@@ -74,6 +74,11 @@ def main():
         idx = HNSWIndex.build(vecs, cfg, method="exact")
         _ = int(np.asarray(idx.graph.count))
         log(f"[ab] built in {time.perf_counter() - t0:.0f}s")
+        if os.environ.get("VSS_AB_LAYOUT") == "1":
+            t0 = time.perf_counter()
+            idx.optimize_layout()
+            _ = int(np.asarray(idx.graph.count))
+            log(f"[ab] optimize_layout in {time.perf_counter() - t0:.0f}s")
         save_index(idx, PATH)
         # ground truth for 512 queries, reused by every sweep run
         q = gen(QB, 2)
