@@ -51,7 +51,12 @@ import numpy as np
 HBM_PEAK_GB_S = 819.0
 
 
+_last_progress = time.time()
+
+
 def log(msg):
+    global _last_progress
+    _last_progress = time.time()
     print(msg, file=sys.stderr, flush=True)
 
 
@@ -97,6 +102,18 @@ def _ensure_backend():
     _ = float((x @ x).sum())
     ok.set()
     log("[bench] device probe ok")
+
+    # the kernel-spin wedge can also strike mid-run (observed during the
+    # peaks phase after a clean probe): a heartbeat watchdog re-execs if
+    # no log() progress for 10 min — every legit silent phase (compile,
+    # slope loops, GT) is comfortably shorter
+    def heartbeat():
+        while True:
+            time.sleep(30)
+            if time.time() - _last_progress > 600:
+                _reexec("no progress for 600s (mid-run wedge)", delay=30)
+
+    threading.Thread(target=heartbeat, daemon=True).start()
 
 
 def _slope(fn, lo, hi, trials=3):
