@@ -213,17 +213,27 @@ def _gather_dist_kernel(
 
     dp = planes[0].shape[-1]
     qv = q_ref[:].astype(jnp.float32)
-    dots = jnp.zeros((qb, c), jnp.float32)
-    xn = jnp.zeros((qb, c), jnp.float32)
-    for k, p in enumerate(planes):
-        g = p.reshape(qb, c, dp)
-        qk = qv[:, k * dp:(k + 1) * dp]
-        dots = dots + jax.lax.dot_general(
-            g, qk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+    # single full-width reduction: accumulating per-plane partial dots
+    # (`dots += dot(...)`) folds into a reduction with a NON-constant
+    # accumulator, which Mosaic rejects ("only constant accumulators
+    # supported"); concatenating the decoded planes keeps one reduce with
+    # a constant init. Plane order matches the host-permuted query.
+    g = (
+        planes[0].reshape(qb, c, dp)
+        if len(planes) == 1
+        else jnp.concatenate(
+            [p.reshape(qb, c, dp) for p in planes], axis=2
         )
-        if metric != Metric.IP:
-            xn = xn + jnp.sum(g * g, axis=2)
+    )
+    dots = jax.lax.dot_general(
+        g, qv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    xn = (
+        jnp.sum(g * g, axis=2)
+        if metric != Metric.IP
+        else jnp.zeros((qb, c), jnp.float32)
+    )
     ok = ids_v_ref[:] >= 0
     if metric == Metric.IP:
         d = 1.0 - dots
