@@ -4,7 +4,7 @@
 # and caps total per-attempt time. Usage:
 #   run_chip.sh <attempt_timeout_s> <stall_s> <done_regex> <log> cmd...
 TIMEOUT=$1; STALL=$2; DONE_RE=$3; LOG=$4; shift 4
-for i in 1 2 3 4 5 6; do
+for i in 1 2 3 4 5 6 7 8 9 10; do
   echo "[run_chip] attempt $i: $*" >&2
   "$@" > "$LOG" 2>&1 &
   pid=$!
