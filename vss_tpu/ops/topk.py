@@ -384,7 +384,10 @@ def bruteforce_topk(
         # halve then round to 256: subt=8 at sub=640 measured 16.53M
         # scoped vmem (540K over); sub=512 fits
         sub = max(256, (_pallas_scan_tile(nx, d, qb) // 2) // 256 * 256)
-        subt = max(1, min(subt, round_up(nx, 256) // sub))
+        # the double-buffered x block itself (2*tile*d*4) must stay
+        # within ~8 MB — at 960-d an uncapped subt=8 block costs 15.7 MB
+        tile_max_x = max(sub, (8 << 20) // (8 * d) // 256 * 256)
+        subt = max(1, min(subt, round_up(nx, 256) // sub, tile_max_x // sub))
         tile = sub * subt
         xf = x.astype(jnp.float32)
         xp = pad_to(xf, 0, tile)
