@@ -20,7 +20,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from vss_tpu.ops.distance import Metric, dispatch_pairwise, pairwise
 from vss_tpu.utils import pad_to, round_up
@@ -120,28 +119,23 @@ def _bruteforce_topk_impl(q, x, valid, k, metric_name, chunk, use_pallas_tiles):
 # So the kernel streams the table once, scores a tile on the MXU, reduces
 # it to per-segment minima (ONE extra VPU pass over the distances — this
 # is what makes it fast; extracting exact top-k per tile costs k passes
-# and was measured VPU-bound at ~80 ms/batch), and merges the tiny
-# [qb, tile/128] seg-min lists into a running top-seg pool in VMEM
-# scratch. The final candidate segments (k * 128 rows per query) are
-# re-scored OUTSIDE the kernel in one batched matmul and reduced exactly.
+# and was measured VPU-bound at ~80 ms/batch), and writes the [qb, S]
+# seg-min block straight to HBM. There is NO cross-step state: an earlier
+# design carried a running top-seg pool in VMEM scratch, and the carry
+# serialized consecutive grid steps (measured ~33-60 us of fixed cost per
+# step); the full seg-min matrix is only nq * nx/128 * 4 bytes (16 MB at
+# 512 x 1M), so selecting the k smallest segments afterwards in XLA is
+# cheap. The candidate segments (k * 128 rows per query) are then
+# re-scored in one batched matmul and reduced exactly.
 
 _SEG = 128  # lanes per segment (one vreg row)
 
 
 def _scan_segmin_kernel(
-    q_ref, qn_ref, x_ref, v_ref, outd_ref, outi_ref, bd, bi,
-    *, keep: int, kp: int, tile: int, metric_name: str, highest: bool,
-    subt: int = 1,
+    q_ref, qn_ref, x_ref, v_ref, out_ref,
+    *, tile: int, metric_name: str, highest: bool, subt: int = 1,
 ):
     metric = Metric.parse(metric_name)
-    j = pl.program_id(1)
-    nt = pl.num_programs(1)
-
-    @pl.when(j == 0)
-    def _():
-        bd[:] = jnp.full_like(bd, _INF)
-        bi[:] = jnp.full_like(bi, -1)
-
     q = q_ref[:]
     qb = q.shape[0]
     prec = (
@@ -175,47 +169,9 @@ def _scan_segmin_kernel(
         d = jnp.where(ok & ~jnp.isnan(d), d, _INF)
         return jnp.min(d.reshape(qb, sub // _SEG, _SEG), axis=2)
 
-    segmin = jnp.concatenate(
+    out_ref[:] = jnp.concatenate(
         [one_subtile(s) for s in range(subt)], axis=1
     )  # [qb, S]
-    S = tile // _SEG
-    seg0 = j * S
-
-    # merge only when some segment can improve the pool (always tile 0)
-    beat = (j == 0) | jnp.any(jnp.min(segmin, axis=1) < bd[:, keep - 1])
-
-    @pl.when(beat)
-    def _():
-        cat_d = jnp.concatenate([bd[:, :keep], segmin], axis=1)
-        ids = seg0 + jax.lax.broadcasted_iota(jnp.int32, (qb, S), 1)
-        cat_i = jnp.concatenate([bi[:, :keep], ids], axis=1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
-        nvs, nis = [], []
-        for _ in range(keep):  # keep+S-wide passes: tiny (<= keep+16 lanes)
-            m = jnp.min(cat_d, axis=1, keepdims=True)
-            pos = jnp.min(
-                jnp.where(cat_d == m, iota, jnp.int32(2**30)), axis=1
-            )
-            hit = iota == pos[:, None]
-            nvs.append(m[:, 0])
-            nis.append(
-                jnp.max(jnp.where(hit, cat_i, jnp.int32(-(2**31))), axis=1)
-            )
-            cat_d = jnp.where(hit, _INF, cat_d)
-        nd = jnp.stack(nvs, 1)
-        ni = jnp.stack(nis, 1)
-        ni = jnp.where(jnp.isfinite(nd), ni, -1)
-        pad = kp - keep
-        if pad:
-            nd = jnp.concatenate([nd, jnp.full((qb, pad), _INF)], 1)
-            ni = jnp.concatenate([ni, jnp.full((qb, pad), -1, jnp.int32)], 1)
-        bd[:] = nd
-        bi[:] = ni
-
-    @pl.when(j == nt - 1)
-    def _():
-        outd_ref[:] = bd[:]
-        outi_ref[:] = bi[:]
 
 
 @functools.partial(
@@ -226,11 +182,11 @@ def _segmin_scan_pallas(q, qn, x, valid2d, keep, metric_name, tile, qb,
                         highest, subt=1):
     nq, d = q.shape
     nxp = x.shape[0]
-    kp = round_up(keep, 128)
+    S = tile // _SEG
     grid = (nq // qb, nxp // tile)
-    outd, outi = pl.pallas_call(
+    segmins = pl.pallas_call(
         functools.partial(
-            _scan_segmin_kernel, keep=keep, kp=kp, tile=tile,
+            _scan_segmin_kernel, tile=tile,
             metric_name=metric_name, highest=highest, subt=subt,
         ),
         grid=grid,
@@ -240,20 +196,16 @@ def _segmin_scan_pallas(q, qn, x, valid2d, keep, metric_name, tile, qb,
             pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
             pl.BlockSpec((1, tile), lambda i, j: (0, j)),
         ],
-        out_specs=[
-            pl.BlockSpec((qb, kp), lambda i, j: (i, 0)),
-            pl.BlockSpec((qb, kp), lambda i, j: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nq, kp), jnp.float32),
-            jax.ShapeDtypeStruct((nq, kp), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((qb, kp), jnp.float32),
-            pltpu.VMEM((qb, kp), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((qb, S), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((nq, nxp // _SEG), jnp.float32),
     )(q, qn, x, valid2d)
-    return outd[:, :keep], outi[:, :keep]
+    # exact k smallest segments per query (iterative min-k: k narrow
+    # passes beat a width-NS sort; ties resolve to the lowest segment id,
+    # preserving the lowest-slot-id contract downstream)
+    sd, si = _iter_min_k(segmins, keep) if keep <= _ITER_K_MAX else (
+        lambda nt_: (-nt_[0], nt_[1])
+    )(jax.lax.top_k(-segmins, keep))
+    return sd, jnp.where(jnp.isfinite(sd), si, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric_name", "highest"))
