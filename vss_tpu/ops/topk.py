@@ -319,14 +319,15 @@ def bruteforce_topk(
     if use_pallas() and k <= _PALLAS_K_MAX and nx > 4 * _SEG:
         highest = precision == "highest"
         # qb=256 keeps Mosaic's scoped-vmem estimate well under the 16 MB
-        # limit (512 measured 18.6M at tile 768); the cost is one extra
-        # table stream per 512 queries, dwarfed by the matmul itself
-        qb = min(256, round_up(nq, 8))
+        # limit (512 measured 18.6M at tile 768 WITH the old scratch
+        # carry; the carry-free kernel has headroom — sweep VSS_SCAN_QB);
+        # the cost is one extra table stream per 512 queries
+        import os as _os
+
+        qb = min(int(_os.environ.get("VSS_SCAN_QB", "256")), round_up(nq, 8))
         # sub-tiled steps: live temporaries scale with `sub`, the x block
         # (and so the grid-step count) with sub*subt — per-step fixed
         # cost measured ~33 us, so fewer, larger steps win
-        import os as _os
-
         # DEFAULT precision keeps bf16 input copies live alongside the
         # f32 sub-tile buffers (measured 17.5M scoped vmem at subt=8
         # where HIGHEST fit) — give it a smaller x block
