@@ -148,8 +148,11 @@ def measure_mxu_peaks():
 
     M = 2048
     rng = np.random.default_rng(1)
+    log("[bench] peaks: uploading operands...")
     a = jnp.asarray(rng.standard_normal((M, M)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((M, M)), jnp.float32)
+    _ = float(a[0, 0])  # force the uploads before timing anything
+    log("[bench] peaks: operands resident")
 
     def chain(prec, dtype):
         @partial(jax.jit, static_argnames=("iters",))
@@ -174,8 +177,10 @@ def measure_mxu_peaks():
     # 'peaks' (17 exaFLOP/s f32 in one round-2 run)
     fl = 2 * M**3
     f_bf = chain(lax.Precision.DEFAULT, jnp.bfloat16)
+    log("[bench] peaks: bf16 chain...")
     bf16 = fl / _slope(lambda it: f_bf(a, b, it), 128, 768) / 1e12
     f_hi = chain(lax.Precision.HIGHEST, jnp.float32)
+    log("[bench] peaks: f32-HIGHEST chain...")
     f32h = fl / _slope(lambda it: f_hi(a, b, it), 32, 160) / 1e12
     log(f"[bench] measured peaks: bf16={bf16:.0f} TF/s, f32-HIGHEST={f32h:.1f} TF/s")
     return bf16, f32h
