@@ -98,7 +98,11 @@ def _ensure_backend():
             _reexec("first device op wedged", delay=30)
 
     threading.Thread(target=watchdog, daemon=True).start()
-    x = jnp.ones((256, 256))
+    # RANDOM data: a jnp.ones probe is constant-folded at compile time
+    # and never touches the device — it reported "ok" on claims whose
+    # first real op then wedged
+    x = jnp.asarray(np.random.default_rng().standard_normal((256, 256)),
+                    jnp.float32)
     _ = float((x @ x).sum())
     ok.set()
     log("[bench] device probe ok")
