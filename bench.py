@@ -109,13 +109,13 @@ def _ensure_backend():
 
     # the kernel-spin wedge can also strike mid-run (observed during the
     # peaks phase after a clean probe): a heartbeat watchdog re-execs if
-    # no log() progress for 10 min — every legit silent phase (compile,
+    # no log() progress for 7 min — every legit silent phase (compile,
     # slope loops, GT) is comfortably shorter
     def heartbeat():
         while True:
             time.sleep(30)
-            if time.time() - _last_progress > 600:
-                _reexec("no progress for 600s (mid-run wedge)", delay=30)
+            if time.time() - _last_progress > 420:
+                _reexec("no progress for 420s (mid-run wedge)", delay=30)
 
     threading.Thread(target=heartbeat, daemon=True).start()
 
@@ -269,6 +269,7 @@ def main():
         gt_parts = []
         for i in range(nb):
             gt_parts.append(np.asarray(bruteforce_topk(q_stack[i], xs, K, METRIC)[1]))
+            log(f"[bench] ground truth batch {i + 1}/{nb}")
         gt = np.concatenate(gt_parts)
 
         @partial(jax.jit, static_argnames=("iters",))
