@@ -169,9 +169,11 @@ def _scan_segmin_kernel(
         d = jnp.where(ok & ~jnp.isnan(d), d, _INF)
         return jnp.min(d.reshape(qb, sub // _SEG, _SEG), axis=2)
 
+    # TRANSPOSED output [S, qb]: Mosaic requires the block's last dim be
+    # 128-divisible (or full) — qb is, S (tile/128) is not
     out_ref[:] = jnp.concatenate(
         [one_subtile(s) for s in range(subt)], axis=1
-    )  # [qb, S]
+    ).T
 
 
 @functools.partial(
@@ -196,9 +198,10 @@ def _segmin_scan_pallas(q, qn, x, valid2d, keep, metric_name, tile, qb,
             pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
             pl.BlockSpec((1, tile), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((qb, S), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((nq, nxp // _SEG), jnp.float32),
+        out_specs=pl.BlockSpec((S, qb), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((nxp // _SEG, nq), jnp.float32),
     )(q, qn, x, valid2d)
+    segmins = segmins.T  # [nq, NS]
     # exact k smallest segments per query (iterative min-k: k narrow
     # passes beat a width-NS sort; ties resolve to the lowest segment id,
     # preserving the lowest-slot-id contract downstream)
@@ -334,13 +337,18 @@ def bruteforce_topk(
         subt = max(1, int(_os.environ.get(
             "VSS_SCAN_SUBT", "8" if highest else "6"
         )))
-        # halve then round to 256: subt=8 at sub=640 measured 16.53M
-        # scoped vmem (540K over); sub=512 fits
-        sub = max(256, (_pallas_scan_tile(nx, d, qb) // 2) // 256 * 256)
+        # sub-tile: 512 rows when the live-temp budget allows, else 256
+        # (subt=8 at sub=640 measured 16.53M scoped vmem, 540K over; 512
+        # fits). The transposed output block is [S=tile/128, qb], and
+        # Mosaic needs the sublane dim S divisible by 8 -> tile must be a
+        # multiple of 1024, so subt moves in steps of 1024/sub.
+        sub = 512 if _pallas_scan_tile(nx, d, qb) >= 1024 else 256
+        step = 1024 // sub
         # the double-buffered x block itself (2*tile*d*4) must stay
         # within ~8 MB — at 960-d an uncapped subt=8 block costs 15.7 MB
-        tile_max_x = max(sub, (8 << 20) // (8 * d) // 256 * 256)
-        subt = max(1, min(subt, round_up(nx, 256) // sub, tile_max_x // sub))
+        tile_max_x = max(1024, (8 << 20) // (8 * d) // 1024 * 1024)
+        subt = min(subt, tile_max_x // sub, round_up(nx, 1024) // sub)
+        subt = max(step, subt // step * step)
         tile = sub * subt
         xf = x.astype(jnp.float32)
         xp = pad_to(xf, 0, tile)
