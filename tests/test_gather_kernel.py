@@ -53,12 +53,12 @@ def test_gather_rows(interpret_pallas):
 
 
 @pytest.mark.parametrize("metric", ["l2sq", "cosine", "ip"])
-@pytest.mark.parametrize("dtype,packing", [
-    (np.float32, 1), (jnp.bfloat16, 2), (np.int8, 4),
+@pytest.mark.parametrize("dtype,packing,d", [
+    (np.float32, 1, 128), (jnp.bfloat16, 2, 256), (np.int8, 4, 512),
 ])
-def test_gather_distances_packed(interpret_pallas, metric, dtype, packing):
+def test_gather_distances_packed(interpret_pallas, metric, dtype, packing, d):
     rng = np.random.default_rng(1)
-    B, C, d, n = 16, 24, 128, 400
+    B, C, n = 16, 24, 400
     if dtype is np.int8:
         table_np = rng.integers(-100, 100, (n, d)).astype(np.int8)
         table = jnp.asarray(table_np)
@@ -81,3 +81,12 @@ def test_gather_distances_packed(interpret_pallas, metric, dtype, packing):
     # int8 dots reach ~1e5; different summation orders differ by ~1e-3
     np.testing.assert_allclose(out[mask], oracle[mask], rtol=5e-4, atol=2e-3)
     assert not np.isfinite(out[0, :4]).any()
+
+
+def test_pack_table_rejects_narrow_rows():
+    """Sub-128-lane packed rows violate Mosaic DMA alignment: pack_table
+    must refuse so callers fall back to the XLA gather path."""
+    with pytest.raises(ValueError):
+        pack_table(jnp.zeros((8, 128), jnp.int8))
+    with pytest.raises(ValueError):
+        pack_table(jnp.zeros((8, 128), jnp.bfloat16))

@@ -52,10 +52,12 @@ def _default_fused(graph: HNSWGraph) -> bool:
 
     env = os.environ.get("VSS_FUSED_GATHER")
     d = graph.vectors.shape[1]
+    # packed sub-word rows must span >= 128 i32 lanes per DMA (Mosaic
+    # alignment, see ops/gather.pack_table)
     packable = (
         graph.vectors.dtype == jnp.float32
-        or (graph.vectors.dtype == jnp.bfloat16 and d % 2 == 0)
-        or (graph.vectors.dtype == jnp.int8 and d % 4 == 0)
+        or (graph.vectors.dtype == jnp.bfloat16 and d % 256 == 0)
+        or (graph.vectors.dtype == jnp.int8 and d % 512 == 0)
     )
     if env is not None:
         return env == "1" and packable

@@ -289,16 +289,24 @@ def pack_table(table: jax.Array):
     """(packed_view, packing) for the fused kernel: f32 passes through;
     bf16/int8 rows are bit-packed into i32 words (a pure reinterpretation
     — do this ONCE per graph version and cache, the copy is tape-sized).
-    The i32 word layout implies the plane order `plane_queries` uses."""
+    The i32 word layout implies the plane order `plane_queries` uses.
+
+    Mosaic constraint (measured on chip): a per-row DMA source slice must
+    span a multiple of 128 lanes, so the packed word width d/packing must
+    be 128-divisible — int8 needs d % 512 == 0, bf16 d % 256 == 0.
+    Narrower tapes raise ValueError and callers fall back to the XLA
+    gather path."""
     n, d = table.shape
     if table.dtype == jnp.float32:
         return table, 1
     if table.dtype == jnp.bfloat16:
-        assert d % 2 == 0
+        if (d // 2) % 128:
+            raise ValueError("bf16 packed gather needs d % 256 == 0")
         w = jax.lax.bitcast_convert_type(table.reshape(n, d // 2, 2), jnp.int32)
         return w, 2
     if table.dtype == jnp.int8:
-        assert d % 4 == 0
+        if (d // 4) % 128:
+            raise ValueError("int8 packed gather needs d % 512 == 0")
         w = jax.lax.bitcast_convert_type(table.reshape(n, d // 4, 4), jnp.int32)
         return w, 4
     raise ValueError(f"unsupported tape dtype {table.dtype}")
