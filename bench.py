@@ -250,7 +250,9 @@ def main():
             centers[rng.integers(0, n_centers, NQ)] + rng.normal(0, 25, (NQ, D)), 0, 255
         ).astype(np.float32)
 
-    cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF, storage_dtype=STORAGE)
+    RERANK = os.environ.get("VSS_BENCH_RERANK", "auto")
+    cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF,
+                     storage_dtype=STORAGE, rerank=RERANK)
 
     only_build = os.environ.get("VSS_BENCH_ONLY_BUILD") == "1"
     bf16_peak, f32h_peak = (
@@ -333,6 +335,7 @@ def main():
     p_slots, p_vecs = idx.pivots() if N_SEEDS > 0 else (None, None)
     x_norms = idx.norms()
     p_tab, p_pack = idx.packed_tape()
+    r_tape = idx.rerank_tape  # exact-rescore side tape (None unless int8)
     if fused and graph.vectors.dtype != jnp.float32 and p_tab is None:
         fused = False
 
@@ -347,6 +350,7 @@ def main():
             d, sl, it, ev = _hnsw_search_impl(
                 graph, config, q, allow, K, ef, ESEARCH, 0, False, True,
                 fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack,
+                r_tape,
             )
             s = d[0, 0]
             return acc + s, delta + s * 1e-30
@@ -362,7 +366,7 @@ def main():
             d, sl, iters, evals = _hnsw_search_impl(
                 graph, config, q_scaled(q_stack[i]), allow, K, ef, ESEARCH,
                 0, False, True, fused, p_slots, p_vecs, N_SEEDS, x_norms,
-                p_tab, p_pack,
+                p_tab, p_pack, r_tape,
             )
             rowss.append(np.asarray(
                 jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)

@@ -112,12 +112,14 @@ def main():
     gt = np.asarray(gt_i)
 
     def measure(expand, ef=EF, max_it=0, seeds=0, qstack=qs, label="",
-                fused=False):
-        """seeds=0 -> greedy descent; seeds>0 -> pivot seeding."""
+                fused=False, rt=False):
+        """seeds=0 -> greedy descent; seeds>0 -> pivot seeding; rt=True
+        rescores the ef pool against the full-precision side tape."""
         nb_, B_ = qstack.shape[0], qstack.shape[1]
         p_s = ps if seeds else None
         p_v = pv if seeds else None
         ns = seeds or 4
+        r_tape = idx.rerank_tape if rt else None
 
         @partial(jax.jit, static_argnames=("iters",))
         def loop(graph, qstack, allow, iters: int):
@@ -128,6 +130,7 @@ def main():
                     graph, config, q, allow, K, ef, expand, max_it, False,
                     True, fused, p_s, p_v, ns, xn,
                     p_tab if fused else None, p_pack if fused else 1,
+                    r_tape,
                 )
                 s = d[0, 0]
                 return acc + s, delta + s * 1e-30
@@ -143,6 +146,7 @@ def main():
             graph, config, qstack[0], allow, K, ef, expand, max_it, False,
             True, fused, p_s, p_v, ns, xn,
             p_tab if fused else None, p_pack if fused else 1,
+            r_tape,
         )
         rows = np.asarray(
             jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
@@ -155,7 +159,7 @@ def main():
         key = label or (
             f"{'pv' + str(ns) if seeds else 'desc'}_E{expand}_ef{ef}"
             + (f"_mi{max_it}" if max_it else "") + f"_B{B_}"
-            + ("_fused" if fused else "")
+            + ("_fused" if fused else "") + ("_rr" if rt else "")
         )
         out[f"{key}_qps"] = round(qps, 1)
         out[f"{key}_recall"] = round(rec, 4)
@@ -182,6 +186,17 @@ def main():
             dict(expand=2, seeds=4, ef=48, max_it=32, fused=True),
             dict(expand=2, seeds=4, ef=64),
             dict(expand=2, seeds=4, ef=64, fused=True),
+        ],
+        # exact-rescore side tape: recall recovered per ef at +-rerank
+        # (int8 storage; run with VSS_AB_STORAGE=int8)
+        "rr": [
+            dict(expand=2, seeds=4, ef=32),
+            dict(expand=2, seeds=4, ef=32, rt=True),
+            dict(expand=2, seeds=4, ef=48),
+            dict(expand=2, seeds=4, ef=48, rt=True),
+            dict(expand=2, seeds=4, ef=64),
+            dict(expand=2, seeds=4, ef=64, rt=True),
+            dict(expand=2, seeds=4, ef=96, rt=True),
         ],
     }
     variants = VARIANT_SETS[os.environ.get("VSS_AB_SET", "r2")]

@@ -75,6 +75,13 @@ class HNSWIndex:
         self._insert_seed = 0
         # int8 tape: global symmetric quantization scale (tape holds x/scale)
         self.vector_scale = 1.0
+        # optional full-precision side tape [cap, d] (scaled units) for
+        # final-stage exact rescoring of quantized-tape searches
+        # (config.rerank; shape[0] always tracks graph.capacity)
+        rr = config.rerank_dtype
+        self.rerank_tape: Optional[jax.Array] = (
+            None if rr is None else jnp.zeros((capacity, config.dims), rr)
+        )
         # per-graph-version caches (pivot seeding + norm tape); the first
         # element anchors the graph pytree they were computed from
         self._pivot_cache: Optional[tuple] = None
@@ -162,6 +169,10 @@ class HNSWIndex:
         idx.next_slot = n
         idx.rowid_to_slot = {int(r): i for i, r in enumerate(rowids)}
         idx._insert_seed = n
+        rr = config.rerank_dtype
+        if rr is not None:
+            tape = jnp.zeros((graph.capacity, config.dims), rr)
+            idx.rerank_tape = tape.at[:n].set(jnp.asarray(vectors, rr))
         idx.dirty = True
         return idx
 
@@ -214,6 +225,7 @@ class HNSWIndex:
             expand=expand, assume_all_valid=self.deleted_count == 0,
             pivot_slots=pivot_slots, pivot_vecs=pivot_vecs,
             x_norms=self.norms(), packed_tape=packed, packing=packing,
+            rerank_tape=self.rerank_tape,
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
@@ -298,6 +310,12 @@ class HNSWIndex:
             new_upper *= 2
         if new_cap != self.graph.capacity or new_upper != self.graph.upper_capacity:
             self.graph = grow_graph(self.graph, self.config, new_cap, new_upper)
+            if self.rerank_tape is not None:
+                pad = new_cap - self.rerank_tape.shape[0]
+                if pad > 0:
+                    self.rerank_tape = jnp.pad(
+                        self.rerank_tape, ((0, pad), (0, 0))
+                    )
 
     def insert(self, vectors, rowids: Sequence[int]):
         """Insert vectors with user row ids (the INSERT/Append path).
@@ -329,6 +347,10 @@ class HNSWIndex:
             self.next_slot += fresh
         # recycled slots stop being tombstones
         self.deleted_count -= reuse
+        if self.rerank_tape is not None:
+            self.rerank_tape = self.rerank_tape.at[
+                jnp.asarray(slots.astype(np.int32))
+            ].set(jnp.asarray(vectors, self.rerank_tape.dtype))
         # waves (bucketed shapes to bound recompilation)
         pos = 0
         while pos < n:
@@ -492,7 +514,12 @@ class HNSWIndex:
         new_vectors = jnp.take(self.graph.vectors, perm, axis=0)
         new_vectors = jnp.where(
             (jnp.arange(cap) < n_new)[:, None], new_vectors, 0.0
-        )
+        ).astype(self.graph.vectors.dtype)  # weak-f32 0.0 must not promote int8
+        if self.rerank_tape is not None:
+            rt = jnp.take(self.rerank_tape, perm, axis=0)
+            self.rerank_tape = jnp.where(
+                (jnp.arange(cap) < n_new)[:, None], rt, 0.0
+            ).astype(self.rerank_tape.dtype)
         self.graph = HNSWGraph(
             vectors=new_vectors,
             adj0=jnp.asarray(new_adj0),
@@ -545,6 +572,8 @@ class HNSWIndex:
         immutable and shared; host bookkeeping is deep-copied."""
         other = HNSWIndex(self.config, capacity=64)
         other.graph = self.graph
+        other.rerank_tape = self.rerank_tape
+        other.vector_scale = self.vector_scale
         other.upper_used = self.upper_used
         other.next_slot = self.next_slot
         other.free_slots = list(self.free_slots)

@@ -61,6 +61,13 @@ class HNSWConfig:
     # (hnsw_index.cpp:277-290); bf16/int8 are the TPU-native analogs of
     # its commented-out f16/i8 support.
     storage_dtype: str = "f32"
+    # rerank: final-stage exact rescoring of the beam's ef-wide result
+    # pool against a full-precision side tape. 'auto' = 'f32' for int8
+    # tapes (recovers the quantization recall loss for ~ef/evals extra
+    # gather traffic, a few percent), 'none' otherwise; explicit
+    # 'f32'/'bf16'/'none' override. The reference has no analog — its
+    # tape is always FLOAT.
+    rerank: str = "auto"
 
     def __post_init__(self):
         if self.m0 == 0:
@@ -70,6 +77,21 @@ class HNSWConfig:
                 "storage_dtype must be 'f32', 'bf16' or 'int8', "
                 f"got {self.storage_dtype!r}"
             )
+        if self.rerank not in ("auto", "none", "f32", "bf16"):
+            raise ValueError(
+                "rerank must be 'auto', 'none', 'f32' or 'bf16', "
+                f"got {self.rerank!r}"
+            )
+
+    @property
+    def rerank_dtype(self):
+        """Resolved rerank tape dtype (jnp dtype) or None when disabled."""
+        import jax.numpy as jnp
+
+        r = self.rerank
+        if r == "auto":
+            r = "f32" if self.storage_dtype == "int8" else "none"
+        return {"none": None, "f32": jnp.float32, "bf16": jnp.bfloat16}[r]
 
     @property
     def inv_log_m(self) -> float:

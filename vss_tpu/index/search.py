@@ -496,7 +496,7 @@ def pivot_seeds(
 def _hnsw_search_impl(
     graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
     use_history=True, fused=False, pivot_slots=None, pivot_vecs=None,
-    n_seeds=4, x_norms=None, packed_tape=None, packing=1,
+    n_seeds=4, x_norms=None, packed_tape=None, packing=1, rerank_tape=None,
 ):
     metric = Metric.parse(config.metric)
     q_norms = None
@@ -528,6 +528,24 @@ def _hnsw_search_impl(
         use_history=use_history, fused=fused, packed_tape=packed_tape,
         packing=packing,
     )
+    if rerank_tape is not None:
+        # exact rescoring of the ef-wide pool against the full-precision
+        # side tape: the pool's quantized-tape ordering errors are local,
+        # so re-sorting the pool by exact distance recovers most of the
+        # quantization recall loss for ~ef extra row gathers per query
+        rv = jnp.take(rerank_tape, jnp.maximum(res_i, 0), axis=0)
+        if Metric.parse(config.metric) == Metric.L2SQ:
+            # direct difference form: the dot-product trick loses ~3
+            # digits to cancellation at byte magnitudes (||x||^2 ~ 1e6 vs
+            # distances ~ 1e1); this stage is tiny, so spend the FLOPs
+            diff = q[:, None, :] - rv.astype(jnp.float32)
+            rd = jnp.sum(diff * diff, axis=-1)
+        else:
+            rd = gathered_distances(q, rv, config.metric, None, q_norms)
+        rd = jnp.where(res_i >= 0, rd, _INF)
+        res_d, res_i = jax.lax.sort(
+            (rd, res_i), dimension=1, num_keys=1, is_stable=True
+        )
     out_d = res_d[:, :k]
     out_i = res_i[:, :k]
     # empty graph -> nothing
@@ -556,6 +574,7 @@ def hnsw_search(
     x_norms: Optional[jax.Array] = None,
     packed_tape: Optional[jax.Array] = None,
     packing: int = 1,
+    rerank_tape: Optional[jax.Array] = None,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -594,7 +613,7 @@ def hnsw_search(
     d, i, iters, evals = _hnsw_search_impl(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
         max_iters, dual_pool, use_history, fused, pivot_slots,
-        pivot_vecs, n_seeds, x_norms, packed_tape, packing,
+        pivot_vecs, n_seeds, x_norms, packed_tape, packing, rerank_tape,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}

@@ -91,7 +91,7 @@ def _gather_rows_impl(table, ids, chunk: int, skip_neg: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_prog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (chunk, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -264,7 +264,7 @@ def _gather_distances_impl(table, ids, q, qn, qb: int, metric_name: str,
             pl.BlockSpec((qb, C), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (qb, C), lambda i, ids: (i, 0), memory_space=pltpu.VMEM

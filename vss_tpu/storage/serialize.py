@@ -48,6 +48,8 @@ def serialize_index(idx: HNSWIndex, stream: BinaryIO) -> None:
         "slot_to_rowid": np.asarray(g.slot_to_rowid)[:n],
         "free_slots": np.asarray(idx.free_slots, np.int32),
     }
+    if idx.rerank_tape is not None:
+        arrays["rerank"] = np.asarray(idx.rerank_tape)[:n]
     table = [
         {"name": k, "dtype": str(v.dtype), "shape": list(v.shape)}
         for k, v in arrays.items()
@@ -109,7 +111,14 @@ def deserialize_index(stream: BinaryIO) -> HNSWIndex:
         return base.at[: data.shape[0]].set(jnp.asarray(data))
 
     idx.graph = HNSWGraph(
-        vectors=place(g.vectors, arrays["vectors"], 0.0),
+        # dtype guard: checkpoints written by versions whose compact()
+        # promoted the tape keep loading (values are in-range by
+        # construction); the scatter itself must be dtype-matched
+        vectors=place(
+            g.vectors,
+            arrays["vectors"].astype(np.dtype(g.vectors.dtype), copy=False),
+            0.0,
+        ),
         adj0=place(g.adj0, arrays["adj0"], -1),
         upper_adj=place(g.upper_adj, arrays["upper_adj"], -1),
         upper_row=place(g.upper_row, arrays["upper_row"], -1),
@@ -122,6 +131,14 @@ def deserialize_index(stream: BinaryIO) -> HNSWIndex:
     )
     idx.next_slot = n
     idx.upper_used = u
+    if "rerank" in arrays:
+        rr = arrays["rerank"]
+        tape = jnp.zeros((cap, config.dims), rr.dtype)
+        idx.rerank_tape = place(tape, rr, 0.0)
+    else:
+        # checkpoint written without a side tape (older format or rerank
+        # disabled at save time): don't rescore against zeros
+        idx.rerank_tape = None
     idx.free_slots = [int(s) for s in arrays["free_slots"]]
     idx.deleted_count = header["deleted_count"]
     idx.vector_scale = float(header.get("vector_scale", 1.0))
@@ -204,6 +221,7 @@ def view_index(path: str) -> HNSWIndex:
     )
     idx.next_slot = n
     idx.upper_used = u
+    idx.rerank_tape = arrays.get("rerank")
     idx.free_slots = [int(s) for s in np.asarray(arrays["free_slots"])]
     idx.deleted_count = header["deleted_count"]
     idx.vector_scale = float(header.get("vector_scale", 1.0))
