@@ -342,15 +342,18 @@ def main():
     def q_scaled(qs):
         return qs / scale if STORAGE == "int8" else qs
 
+    # NB: r_tape is a jit ARGUMENT — a closure-captured device array is
+    # embedded as an HLO constant, and the 512 MB side tape blew the
+    # remote-compile tunnel's request-body limit (HTTP 413)
     @partial(jax.jit, static_argnames=("iters", "ef"))
-    def search_loop(graph, q_stack, allow, iters: int, ef: int):
+    def search_loop(graph, q_stack, allow, rt, iters: int, ef: int):
         def body(i, carry):
             acc, delta = carry
             q = q_scaled(q_stack[i % nb]) + delta
             d, sl, it, ev = _hnsw_search_impl(
                 graph, config, q, allow, K, ef, ESEARCH, 0, False, True,
                 fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack,
-                r_tape,
+                rt,
             )
             s = d[0, 0]
             return acc + s, delta + s * 1e-30
@@ -359,7 +362,9 @@ def main():
         return acc
 
     def run_at(ef):
-        per = _slope(lambda it: search_loop(graph, q_stack, allow, it, ef), 2, 8)
+        per = _slope(
+            lambda it: search_loop(graph, q_stack, allow, r_tape, it, ef), 2, 8
+        )
         qps = QBATCH / per
         rowss, evals_tot, iters_max = [], 0, 0
         for i in range(nb):

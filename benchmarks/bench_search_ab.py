@@ -121,8 +121,11 @@ def main():
         ns = seeds or 4
         r_tape = idx.rerank_tape if rt else None
 
+        # NB: r_tape must be a jit ARGUMENT — closure-captured device
+        # arrays are embedded as HLO constants and the 512 MB tape blew
+        # the remote-compile tunnel's request limit (HTTP 413)
         @partial(jax.jit, static_argnames=("iters",))
-        def loop(graph, qstack, allow, iters: int):
+        def loop(graph, qstack, allow, rt, iters: int):
             def body(i, carry):
                 acc, delta = carry
                 q = qstack[i % nb_] + delta
@@ -130,7 +133,7 @@ def main():
                     graph, config, q, allow, K, ef, expand, max_it, False,
                     True, fused, p_s, p_v, ns, xn,
                     p_tab if fused else None, p_pack if fused else 1,
-                    r_tape,
+                    rt,
                 )
                 s = d[0, 0]
                 return acc + s, delta + s * 1e-30
@@ -140,7 +143,7 @@ def main():
             )
             return acc
 
-        per = slope(lambda it: loop(graph, qstack, allow, it))
+        per = slope(lambda it: loop(graph, qstack, allow, r_tape, it))
         qps = B_ / per
         d, sl, iters, evals = _hnsw_search_impl(
             graph, config, qstack[0], allow, K, ef, expand, max_it, False,

@@ -97,6 +97,54 @@ def test_exact_build_greedy_descent_routing(rng):
     assert recall(rows, np.asarray(bi)) >= 0.9
 
 
+def test_ivf_candidates_quality(rng):
+    """The locality-blocked candidate pass (index/ivf_candidates.py) must
+    produce near-exact top-C lists: high overlap with the exact pass and
+    identical nearest-1 hits on clustered data."""
+    from vss_tpu.index.ivf_candidates import ivf_candidates
+
+    n, d, C = 6000, 24, 16
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 8
+    vecs = (
+        centers[rng.integers(0, 30, n)]
+        + rng.standard_normal((n, d)).astype(np.float32)
+    )
+    ids = jnp.arange(n, dtype=jnp.int32)
+    xv = jnp.asarray(vecs)
+    _, ei = exact_knn(xv, ids, C, "l2sq")
+    _, ii = ivf_candidates(xv, ids, C, "l2sq", window=128, probes=8, seed=3)
+    ei, ii = np.asarray(ei), np.asarray(ii)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / C
+        for a, b in zip(ei, ii)
+    ])
+    assert overlap >= 0.85, overlap
+    # ascending distances, no self, no duplicates within a row
+    _, di = ivf_candidates(xv, ids, C, "l2sq", window=128, probes=8, seed=3)
+    assert (np.asarray(di) == ii).all()  # deterministic given seed
+    for r in range(0, n, 613):
+        row = ii[r][ii[r] >= 0]
+        assert r not in row.tolist()
+        assert len(set(row.tolist())) == row.size
+
+
+def test_ivf_build_recall(rng):
+    """End-to-end: graph built from IVF candidates must hold the same
+    recall bar as the exact-candidate build."""
+    n, d, k = 4000, 32, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = HNSWConfig(dims=d, metric="l2sq")
+    graph, _ = build_graph_exact(vecs, cfg, candidate_mode="ivf")
+    assert int(graph.count) == n
+    q = jnp.asarray(rng.standard_normal((64, d)).astype(np.float32))
+    sd, si = hnsw_search(graph, cfg, q, k=k, ef=64)
+    rows = np.asarray(jnp.take(graph.slot_to_rowid, jnp.maximum(si, 0)))
+    rows = np.where(np.asarray(si) >= 0, rows, -1)
+    _, bi = bruteforce_topk(q, jnp.asarray(vecs), k, "l2sq")
+    r = recall(rows, np.asarray(bi))
+    assert r >= 0.9, f"ivf-build recall {r}"
+
+
 def test_repair_bridges_disconnected_clusters(rng):
     """Two well-separated clusters: pure-kNN edges cannot connect them;
     repair must make every occupied slot reachable and search must find

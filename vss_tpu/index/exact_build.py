@@ -421,6 +421,13 @@ def _backlink_pass(
     return dataclasses.replace(graph, upper_adj=adj)
 
 
+# past this row count 'auto' switches the base-layer candidate pass from
+# exact n^2 kNN to IVF-window blocking (index/ivf_candidates.py): the
+# exact pass's top-C selection width scales with n and dominates the 1M
+# build profile
+_IVF_AUTO_MIN_N = 131_072
+
+
 def build_graph_exact(
     vectors,
     config: HNSWConfig,
@@ -432,6 +439,7 @@ def build_graph_exact(
     block: int = 2048,
     tile: int = 65536,
     backlink_chunk: int = 4096,
+    candidate_mode: str = "auto",
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> tuple[HNSWGraph, int]:
     """Bulk-build an HNSW graph from exact kNN candidate lists.
@@ -442,6 +450,11 @@ def build_graph_exact(
 
     `candidates` is C, the exact-neighbor list length refined down to the
     degree caps (default: 2*m0 at the base layer, bounded below by m0+8).
+
+    `candidate_mode`: 'exact' (n^2 top-C), 'ivf' (locality-blocked, see
+    index/ivf_candidates.py), or 'auto' (ivf past _IVF_AUTO_MIN_N rows;
+    VSS_CAND_MODE overrides). Upper levels are geometrically small and
+    always use the exact pass.
     """
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
@@ -504,11 +517,21 @@ def build_graph_exact(
             progress(min(done_units[0] + done // 2, total_units), total_units)
 
     # ---- base layer
-    cand_d, cand_i = exact_knn(
-        xv, slots, C0, config.metric, block=block, tile=tile,
-        progress=knn_prog,
-    )
-    _mark("candidates", cand_i)
+    mode = os.environ.get("VSS_CAND_MODE", candidate_mode)
+    if mode == "auto":
+        mode = "ivf" if n >= _IVF_AUTO_MIN_N else "exact"
+    if mode == "ivf":
+        from vss_tpu.index.ivf_candidates import ivf_candidates
+
+        cand_d, cand_i = ivf_candidates(
+            xv, slots, C0, config.metric, seed=seed + 1, progress=knn_prog,
+        )
+    else:
+        cand_d, cand_i = exact_knn(
+            xv, slots, C0, config.metric, block=block, tile=tile,
+            progress=knn_prog,
+        )
+    _mark(f"candidates ({mode})", cand_i)
     done_units[0] = n
     refine_chunk = min(4096, round_up(n, 256))
     A_pad = round_up(n, refine_chunk)
