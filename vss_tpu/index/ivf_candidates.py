@@ -170,38 +170,43 @@ def ivf_candidates(
     if progress is not None:
         progress(max(n // 8, 1), n)
 
-    # 2. equal-size buckets: sort by center id, cut into window-row slices
+    # 2. equal-size buckets: sort by center id, cut into window-row
+    # slices. W is padded to a multiple of 8 with all-pad sentinel
+    # buckets so step 4 always dispatches G=8 tiles (W is otherwise
+    # arbitrary — 1M/256 = 3907 is prime and would force G=1).
+    W_pad = round_up(W, min(8, W))
     order = np.argsort(assign, kind="stable").astype(np.int32)
-    n_sorted = W * window
+    n_sorted = W_pad * window
     order_pad = np.full(n_sorted, -1, np.int32)
     order_pad[:n] = order
     order_j = jnp.asarray(order_pad)
     xs = jnp.take(xv, jnp.maximum(order_j, 0), axis=0)
     xs = jnp.where((order_j >= 0)[:, None], xs, 0.0)
-    win_tape = xs.reshape(W, window, d)
+    win_tape = xs.reshape(W_pad, window, d)
     gids = jnp.where(
         order_j >= 0,
         jnp.take(jnp.asarray(np.asarray(ids, np.int32)),
                  jnp.maximum(order_j, 0)),
         -1,
-    ).reshape(W, window)
+    ).reshape(W_pad, window)
 
     # 3. bucket neighbor lists by centroid distance (self included —
-    # its own bucket is always probed)
-    cnt = jnp.maximum(jnp.sum(gids >= 0, axis=1), 1)[:, None]
+    # its own bucket is always probed); sentinel buckets are pushed to
+    # +inf so no real bucket ever probes one
+    occ = jnp.sum(gids >= 0, axis=1)
+    cnt = jnp.maximum(occ, 1)[:, None]
     cents = jnp.sum(win_tape, axis=1) / cnt
     cd = jnp.sum(cents * cents, axis=1)
     dots = cents @ cents.T
     dmat = cd[:, None] + cd[None, :] - 2.0 * dots
+    dmat = jnp.where((occ == 0)[None, :], _INF, dmat)
     _, nbr = jax.lax.top_k(-dmat, probes)
     nbr = nbr.astype(jnp.int32)
     if progress is not None:
         progress(max(n // 4, 1), n)
 
     # 4. blocked scoring: G buckets per dispatch (G*window-query tiles)
-    G = max(1, min(8, W))
-    while W % G:
-        G -= 1
+    G = min(8, W_pad)
     sd, si = _score_groups(
         win_tape, gids, nbr, C, metric.value, G, window, probes
     )
