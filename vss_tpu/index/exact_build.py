@@ -173,6 +173,7 @@ def exact_knn(
     tile: int = 65536,
     fast_matmul: bool = True,
     dist_bf16: Optional[bool] = None,
+    n_valid: Optional[int] = None,
     progress: Optional[Callable[[int, int], None]] = None,
 ):
     """Exact top-C neighbor lists for every row of `vecs` [n, d] against
@@ -180,6 +181,9 @@ def exact_knn(
     matched for self-exclusion). Returns host-free device arrays
     (dists [n, C], ids [n, C]). `dist_bf16` defaults to on-TPU (see
     `_knn_all`; CPU keeps f32 so oracle-comparison tests stay exact).
+    `n_valid`: rows past it are shape padding — excluded as neighbor
+    columns (their own output rows are garbage the caller must drop);
+    lets callers pad `n` to a bucketed shape for compiled-program reuse.
     """
     from vss_tpu.utils import use_pallas  # TPU detection, test-overridable
 
@@ -187,6 +191,10 @@ def exact_knn(
     if dist_bf16 is None:
         dist_bf16 = use_pallas() and fast_matmul
     n, d = vecs.shape
+    if n_valid is None:
+        n_valid = n
+    # C is SHAPE-based (padded callers keep a bucketed width; missing
+    # neighbors come back as -1/inf), only bounded by the row count
     C = min(C, max(n - 1, 1))
     tile = min(tile, round_up(n, 512))
     block = min(block, round_up(n, 256))
@@ -194,7 +202,7 @@ def exact_knn(
     x = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(
         vecs.astype(jnp.float32)
     )
-    x_valid = (jnp.arange(n_pad) < n)
+    x_valid = (jnp.arange(n_pad) < n_valid)
     nq_pad = round_up(n, block)
     if nq_pad <= n_pad:
         q_pad = x[:nq_pad]
@@ -283,6 +291,56 @@ def _upper_select(sd, si_local, mslots, tape_f32, config):
     return select_neighbors(qv, si, sd, tape_f32, config.m, config.metric)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "C", "tile", "block", "approx", "dist_bf16", "chunk",
+    ),
+    donate_argnames=("upper_adj",),
+)
+def _upper_level_pass(
+    tape_f32,     # [cap, d] f32 slot tape (pad slots are zeros)
+    mslots,       # [A_pad] i32 level members SORTED asc, pad = cap-1
+    n_valid,      # i32 scalar: members < n_valid-th position are real
+    rows_idx,     # [A_pad] i32 upper_adj rows, -1 for pads
+    upper_adj,    # the graph's upper adjacency (donated)
+    config,
+    C: int,
+    tile: int,
+    block: int,
+    approx: bool,
+    dist_bf16: bool,
+    chunk: int,
+):
+    """One whole upper level as ONE device program: subset gather →
+    exact kNN → refine-select → forward scatter → reverse-edge grouping →
+    backlink merge. Shapes are pow2-bucketed by the caller, so every
+    level (and every future build) reuses a handful of compiled programs;
+    run eagerly, the ~20 glue ops cost ~100 ms relay dispatch EACH per
+    level through the tunneled device (~4 s per tiny level at 1M)."""
+    A_pad = mslots.shape[0]
+    sub = jnp.take(tape_f32, mslots, axis=0)
+    pos = jnp.arange(A_pad, dtype=jnp.int32)
+    x_valid = pos < n_valid
+    sd, si_local = _knn_all(
+        sub, pos, sub, x_valid, C, config.metric, tile, block, approx,
+        True, dist_bf16,
+    )
+    row_ok = x_valid[:, None]
+    sd = jnp.where(row_ok, sd, _INF)
+    si_local = jnp.where(row_ok, si_local, -1)
+    chosen = _upper_select(sd, si_local, mslots, tape_f32, config)
+    sink_row = upper_adj.shape[0] - 1
+    upper_adj = upper_adj.at[
+        jnp.where(rows_idx >= 0, rows_idx, sink_row)
+    ].set(chosen)
+    incoming = _group_incoming_local(mslots, chosen)
+    return _merge_backlinks(
+        upper_adj, rows_idx, tape_f32, incoming, mslots, config,
+        config.m, chunk,
+    )
+
+
 _INCOMING_CAP = 16  # reverse-edge fan-in accepted per target (one pass)
 
 
@@ -345,15 +403,14 @@ def _merge_backlinks(
         exist = jnp.take(adj, jnp.maximum(rows_i, 0), axis=0)[:, :cap]
         cand_i = _dedupe_keep_first(jnp.concatenate([exist, inc], axis=1))
         tv = jnp.take(vectors, sl, axis=0).astype(jnp.float32)
-        cand_d = gathered_distances(
-            tv, jnp.take(vectors, jnp.maximum(cand_i, 0), axis=0),
-            config.metric,
-        )
+        cv = jnp.take(vectors, jnp.maximum(cand_i, 0), axis=0)
+        cand_d = gathered_distances(tv, cv, config.metric)
         cand_d = jnp.where(cand_i >= 0, cand_d, _INF)
         cnt = jnp.sum(cand_i >= 0, axis=1)
         overflow = cnt > cap
         chosen_h = select_neighbors(
-            tv, cand_i, cand_d, vectors, cap, config.metric, active=overflow
+            tv, cand_i, cand_d, vectors, cap, config.metric,
+            active=overflow, cand_vecs=cv,
         )
         neg_top, pos = jax.lax.top_k(-cand_d, cap)
         chosen_s = jnp.take_along_axis(cand_i, pos, axis=1)
@@ -555,30 +612,42 @@ def build_graph_exact(
     if progress is not None:
         progress(done_units[0], total_units)
 
-    # ---- upper levels
+    # ---- upper levels. All shapes are pow2-bucketed (pad members with
+    # the sink slot) so every level — and every future build — reuses the
+    # same compiled programs; unbucketed, each level recompiled the whole
+    # knn/select/backlink pipeline (~24s of the 1M profile went to the
+    # <4k-node levels alone).
+    from vss_tpu.utils import next_pow2
+
+    sink_slot = graph.capacity - 1
     for lev in range(1, int(levels.max()) + 1):
         member = np.where(levels >= lev)[0]
         if member.size <= 1:
             break
-        mslots = jnp.asarray(member.astype(np.int32))
-        sub = jnp.take(xv, mslots, axis=0)
-        Cu = min(2 * config.m, member.size - 1)
-        sd, si_local = exact_knn(
-            sub, jnp.arange(member.size, dtype=jnp.int32), Cu,
-            config.metric,
-            block=min(block, round_up(member.size, 256)), tile=tile,
+        A = member.size
+        A_pad = next_pow2(max(A, 256))
+        mem_pad = np.full(A_pad, sink_slot, np.int32)
+        mem_pad[:A] = member
+        rows_np = np.full(A_pad, -1, np.int32)
+        rows_np[:A] = urows[member, lev - 1]
+        from vss_tpu.utils import use_pallas
+
+        upper_adj = _upper_level_pass(
+            tape_f32,
+            jnp.asarray(mem_pad),  # ascending: sink_slot > any member
+            jnp.int32(A),
+            jnp.asarray(rows_np),
+            graph.upper_adj,
+            config,
+            C=2 * config.m,
+            tile=min(tile, A_pad),
+            block=min(block, A_pad),
+            approx=use_pallas() and 2 * config.m <= A_pad // 8,
+            dist_bf16=use_pallas(),
+            chunk=min(backlink_chunk, 4096, A_pad),
         )
-        _mark(f"level {lev} knn ({member.size})", si_local)
-        chosen = _upper_select(sd, si_local, mslots, tape_f32, config)
-        _mark(f"level {lev} select", chosen)
-        rows_idx = jnp.asarray(urows[member, lev - 1])
-        upper_adj = graph.upper_adj.at[rows_idx].set(chosen)
         graph = dataclasses.replace(graph, upper_adj=upper_adj)
-        graph = _backlink_pass(
-            graph, config, mslots, rows_idx, chosen, tape_f32, lev,
-            min(backlink_chunk, 4096),
-        )
-        _mark(f"level {lev} backlinks", graph.upper_adj)
+        _mark(f"level {lev} ({A}->{A_pad})", graph.upper_adj)
 
     _mark("upper levels", graph.upper_adj)
     # ---- connectivity repair: a pure-kNN edge set can leave whole

@@ -52,15 +52,17 @@ _INF = float("inf")
 def _assign_pass(x, centers, chunk: int):
     """Nearest-center id for every row of x (l2 geometry is fine for all
     supported metrics here: assignment only PARTITIONS space, and the
-    per-point scoring that follows uses the real metric)."""
+    per-point scoring that follows uses the real metric; bf16 inputs for
+    the same reason — partition boundaries are not quality-sensitive)."""
     n_pad = x.shape[0]
     cn = jnp.sum(centers * centers, axis=1)[None, :]
+    cb = centers.astype(jnp.bfloat16)
 
     def body(i, out):
         s0 = i * chunk
-        q = jax.lax.dynamic_slice_in_dim(x, s0, chunk)
+        q = jax.lax.dynamic_slice_in_dim(x, s0, chunk).astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
-            q, centers, (((1,), (1,)), ((), ())),
+            q, cb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d = cn - 2.0 * dots  # + ||q||^2, constant per row: argmin-invariant
@@ -72,7 +74,8 @@ def _assign_pass(x, centers, chunk: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "metric_name", "G", "window", "probes")
+    jax.jit,
+    static_argnames=("C", "metric_name", "G", "window", "probes", "approx"),
 )
 def _score_groups(
     win_tape,   # [W, window, d] f32 sorted+padded tape
@@ -83,6 +86,7 @@ def _score_groups(
     G: int,
     window: int,
     probes: int,
+    approx: bool = False,
 ):
     """Top-C candidates for every point, bucket-blocked. Returns
     (cand_d [W*window, C] ascending, cand_i [W*window, C] original slot
@@ -108,8 +112,15 @@ def _score_groups(
         dist = _epilogue(dots, qn, kn, metric)                 # [G, window, K]
         bad = (kid[:, None, :] < 0) | (kid[:, None, :] == qid[:, :, None])
         dist = jnp.where(bad, _INF, dist)
-        neg, pos = jax.lax.top_k(-dist.reshape(G * window, K), C)
-        cd = -neg
+        flat = dist.reshape(G * window, K)
+        if approx:
+            # the TPU's PartialReduce top-k: a full [2048, 4096] sort per
+            # group dominated the candidate pass; near-exact selection is
+            # fine for candidate LISTS (refine/backlinks re-score at f32)
+            cd, pos = jax.lax.approx_min_k(flat, C, recall_target=0.98)
+        else:
+            neg, pos = jax.lax.top_k(-flat, C)
+            cd = -neg
         ci = jnp.take_along_axis(
             kid.reshape(G, 1, K).repeat(window, axis=1).reshape(G * window, K),
             pos, axis=1,
@@ -144,6 +155,22 @@ def ivf_candidates(
     ids; returns (dists [n, C] ascending f32, ids [n, C] i32, -1 padded)
     in the original row order, self-matches excluded.
     """
+    import os
+    import sys
+    import time as _time
+
+    _dbg = os.environ.get("VSS_EXACT_DEBUG") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label, *arrs):
+        if _dbg:
+            for a in arrs:
+                jax.block_until_ready(a)
+            print(
+                f"[ivf] {label}: {_time.perf_counter() - _t0:.2f}s",
+                file=sys.stderr, flush=True,
+            )
+
     metric = Metric.parse(metric)
     n, d = vecs.shape
     W = cdiv(n, window)
@@ -167,6 +194,7 @@ def ivf_candidates(
     n_pad = round_up(n, chunk)
     x_pad = xv if n_pad == n else jnp.pad(xv, ((0, n_pad - n), (0, 0)))
     assign = np.asarray(_assign_pass(x_pad, centers, chunk)[:n])
+    _mark("assign")
     if progress is not None:
         progress(max(n // 8, 1), n)
 
@@ -189,6 +217,7 @@ def ivf_candidates(
                  jnp.maximum(order_j, 0)),
         -1,
     ).reshape(W_pad, window)
+    _mark("sort+shuffle", win_tape, gids)
 
     # 3. bucket neighbor lists by centroid distance (self included —
     # its own bucket is always probed); sentinel buckets are pushed to
@@ -202,14 +231,19 @@ def ivf_candidates(
     dmat = jnp.where((occ == 0)[None, :], _INF, dmat)
     _, nbr = jax.lax.top_k(-dmat, probes)
     nbr = nbr.astype(jnp.int32)
+    _mark("bucket nbr lists", nbr)
     if progress is not None:
         progress(max(n // 4, 1), n)
 
     # 4. blocked scoring: G buckets per dispatch (G*window-query tiles)
+    from vss_tpu.utils import use_pallas  # TPU detection, test-overridable
+
     G = min(8, W_pad)
+    approx = use_pallas() and C <= (probes * window) // 8
     sd, si = _score_groups(
-        win_tape, gids, nbr, C, metric.value, G, window, probes
+        win_tape, gids, nbr, C, metric.value, G, window, probes, approx
     )
+    _mark("score", sd, si)
     if progress is not None:
         progress(max(3 * n // 4, 1), n)
 
@@ -220,6 +254,7 @@ def ivf_candidates(
     inv_j = jnp.asarray(inv.astype(np.int32))
     out_d = jnp.take(sd, inv_j, axis=0)
     out_i = jnp.take(si, inv_j, axis=0)
+    _mark("unpermute", out_i)
     if progress is not None:
         progress(n, n)
     return out_d, out_i

@@ -139,8 +139,10 @@ def repair_connectivity(
     _dbg = os.environ.get("VSS_EXACT_DEBUG") == "1"
     _t0 = _time.perf_counter()
 
-    def _mark(label):
+    def _mark(label, *arrs):
         if _dbg:
+            for a in arrs:
+                jax.block_until_ready(a)
             print(
                 f"[repair] {label}: {_time.perf_counter() - _t0:.1f}s",
                 file=sys.stderr, flush=True,
@@ -172,7 +174,7 @@ def repair_connectivity(
     )
     reached_d = jnp.zeros((cap,), jnp.bool_).at[entry].set(True)
     reached_d = _sweep_reachable_rev(rev, reached_d, occupied_d, 64)
-    _mark("reverse adjacency + initial sweeps")
+    _mark("reverse adjacency + initial sweeps", reached_d)
     occupied = np.asarray(occupied_d)
     total = 0
     tape_f32 = graph.vectors.astype(jnp.float32)
@@ -205,8 +207,11 @@ def repair_connectivity(
         near_parts = []
         for s in range(0, bucket, query_chunk):
             u_vecs = jnp.take(tape_f32, jnp.asarray(up[s : s + query_chunk]), axis=0)
+            # 'default' precision: a bridge only needs a NEAR anchor;
+            # bf16 near-tie reorderings are immaterial here and the
+            # HIGHEST-precision scan was ~12s of the 1M build profile
             _, near_c = bruteforce_topk(
-                u_vecs, anchor_vecs, 1, config.metric
+                u_vecs, anchor_vecs, 1, config.metric, precision="default"
             )
             near_parts.append(np.asarray(near_c[:, 0]))
         local = np.concatenate(near_parts)[: idx.size]
@@ -215,7 +220,7 @@ def repair_connectivity(
         u = up[: idx.size]
         live = r >= 0
         u, r = u[live], r[live]
-        _mark(f"round scans ({idx.size} dark, {ridx.size} anchors)")
+        _mark(f"round scans ({idx.size} dark, {ridx.size} anchors)")  # local is host-side already
         if u.size == 0:
             break
         uj = jnp.asarray(u.astype(np.int32))
@@ -231,7 +236,7 @@ def repair_connectivity(
             rev, reached_d.at[uj].set(True), occupied_d, 64
         )
         total += int(u.size)
-        _mark(f"round sweeps (total bridged {total})")
+        _mark(f"round sweeps (total bridged {total})", reached_d)
     if total:
         graph = dataclasses.replace(graph, adj0=adj)
     return graph, total

@@ -40,6 +40,7 @@ def select_neighbors(
     m: int,
     metric,
     active: jax.Array | None = None,
+    cand_vecs: jax.Array | None = None,
 ) -> jax.Array:
     """Pick up to `m` diverse neighbors per row from candidate lists.
 
@@ -47,7 +48,10 @@ def select_neighbors(
     candidate slots (-1 = none, must be pre-deduplicated) and distances to
     q; vectors: [cap, d] slot tape. Returns chosen [A, m] i32, -1 padded,
     ordered kept-first then fill, each group ascending by distance.
-    Rows with active=False return all -1.
+    Rows with active=False return all -1. `cand_vecs` [A, C, d] skips the
+    internal gather when the caller already holds the candidate vectors
+    (the gather is the pass's HBM cost; callers scoring distances anyway
+    should share it).
     """
     metric = Metric.parse(metric)
     A, C = cand_i.shape
@@ -55,6 +59,8 @@ def select_neighbors(
         pad = m - C
         cand_i = jnp.pad(cand_i, ((0, 0), (0, pad)), constant_values=-1)
         cand_d = jnp.pad(cand_d, ((0, 0), (0, pad)), constant_values=_INF)
+        if cand_vecs is not None:
+            cand_vecs = jnp.pad(cand_vecs, ((0, 0), (0, pad), (0, 0)))
         C = m
     cand_d = jnp.where(cand_i >= 0, cand_d, _INF)
     # sort candidates ascending by distance
@@ -65,7 +71,12 @@ def select_neighbors(
     )
     cand_i = jnp.take_along_axis(cand_i, order, axis=1)
 
-    cand_vecs = jnp.take(vectors, jnp.maximum(cand_i, 0), axis=0)  # [A, C, d]
+    if cand_vecs is None:
+        cand_vecs = jnp.take(vectors, jnp.maximum(cand_i, 0), axis=0)  # [A, C, d]
+    else:
+        cand_vecs = jnp.take_along_axis(
+            cand_vecs, order[:, :, None], axis=1
+        )
     d_cc = pairwise_rowwise(cand_vecs, metric)  # [A, C, C]
 
     def body(c, state):
