@@ -71,8 +71,14 @@ vecs = np.clip(
 
 cfg = HNSWConfig(dims=D, metric="l2sq")
 print(f"[profile] backend={jax.default_backend()} N={N} D={D}", file=sys.stderr)
-t0 = time.perf_counter()
-idx = HNSWIndex.build(vecs, cfg, method="exact")
-_ = float(np.asarray(idx.graph.count))
-dt = time.perf_counter() - t0
-print(f"[profile] total build {dt:.1f}s ({N/dt:.0f} rows/s)", file=sys.stderr)
+# two reps: rep 0 pays the per-process compile tax (the persistent cache
+# never serves the tunneled remote compiles), rep 1 is steady state
+for rep in range(2):
+    t0 = time.perf_counter()
+    idx = HNSWIndex.build(vecs, cfg, method="exact")
+    _ = float(np.asarray(idx.graph.count))
+    dt = time.perf_counter() - t0
+    print(f"[profile] rep{rep} total build {dt:.1f}s ({N/dt:.0f} rows/s)",
+          file=sys.stderr)
+del idx
+print("[profile] done", file=sys.stderr)
