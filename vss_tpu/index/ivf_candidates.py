@@ -75,10 +75,12 @@ def _assign_pass(x, centers, chunk: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("C", "metric_name", "G", "window", "probes", "approx"),
+    static_argnames=(
+        "C", "metric_name", "G", "window", "probes", "approx", "score_bf16",
+    ),
 )
 def _score_groups(
-    win_tape,   # [W, window, d] f32 sorted+padded tape
+    win_tape,   # [W, window, d] sorted+padded tape (f32, or bf16 on TPU)
     gids,       # [W, window] i32 original slot id per sorted position (-1 pad)
     nbr,        # [W, probes] i32 neighbor-bucket ids
     C: int,
@@ -87,13 +89,23 @@ def _score_groups(
     window: int,
     probes: int,
     approx: bool = False,
+    score_bf16: bool = False,
 ):
     """Top-C candidates for every point, bucket-blocked. Returns
-    (cand_d [W*window, C] ascending, cand_i [W*window, C] original slot
-    ids, -1 padded) in SORTED-position row order."""
+    (cand_d [W*window, C] ascending f32, cand_i [W*window, C] original
+    slot ids, -1 padded) in SORTED-position row order.
+
+    score_bf16: keep the probe-bucket gather AND the [G, window, K]
+    distance matrix in bf16 — the pass is HBM-bound on exactly those two
+    buffers (the matmul itself is ~1 TFLOP at 1M). Candidate ORDERING is
+    all that survives this pass (refine/backlinks re-score at f32), and
+    bf16 near-tie shuffles are indistinguishable from the bf16-input
+    rounding the MXU matmul already applies — same trade as
+    `exact_build._knn_all(dist_bf16=True)`."""
     metric = Metric.parse(metric_name)
     W, _, d = win_tape.shape
     K = probes * window
+    dd = jnp.bfloat16 if score_bf16 else jnp.float32
 
     def body(g, out):
         out_d, out_i = out
@@ -107,11 +119,13 @@ def _score_groups(
         dots = jnp.einsum(
             "gqd,gkd->gqk", q, keys, preferred_element_type=jnp.float32
         )
-        qn = jnp.sum(q * q, axis=2)[:, :, None]
-        kn = jnp.sum(keys * keys, axis=2)[:, None, :]
-        dist = _epilogue(dots, qn, kn, metric)                 # [G, window, K]
+        qf = q.astype(jnp.float32)
+        kf = keys.astype(jnp.float32)
+        qn = jnp.sum(qf * qf, axis=2)[:, :, None]
+        kn = jnp.sum(kf * kf, axis=2)[:, None, :]
+        dist = _epilogue(dots, qn, kn, metric).astype(dd)      # [G, window, K]
         bad = (kid[:, None, :] < 0) | (kid[:, None, :] == qid[:, :, None])
-        dist = jnp.where(bad, _INF, dist)
+        dist = jnp.where(bad, jnp.asarray(_INF, dd), dist)
         flat = dist.reshape(G * window, K)
         if approx:
             # the TPU's PartialReduce top-k: a full [2048, 4096] sort per
