@@ -169,3 +169,31 @@ def test_repair_noop_on_connected_graph(rng):
     g2, n_bridged = repair_connectivity(graph, cfg)
     assert n_bridged == 0
     np.testing.assert_array_equal(np.asarray(graph.adj0), np.asarray(g2.adj0))
+
+
+def test_ivf_score_groups_bf16_arm(rng):
+    """The bf16 scoring arm of the candidate pass (enabled on TPU) must
+    trace (f32 output contract despite bf16 selection — ADVICE r2) and
+    keep near-exact top-C overlap with the f32 arm."""
+    import jax.numpy as jnp
+
+    from vss_tpu.index.ivf_candidates import _score_groups
+    from vss_tpu.utils import round_up
+
+    W, window, d, probes, C = 16, 64, 16, 4, 8
+    tape = rng.standard_normal((W, window, d)).astype(np.float32)
+    gids = np.arange(W * window, dtype=np.int32).reshape(W, window)
+    cents = tape.mean(axis=1)
+    dm = ((cents[:, None] - cents[None, :]) ** 2).sum(-1)
+    nbr = np.argsort(dm, axis=1)[:, :probes].astype(np.int32)
+    args = (jnp.asarray(gids), jnp.asarray(nbr), C, "l2sq", 8, window, probes)
+    d32, i32_ = _score_groups(jnp.asarray(tape), *args, score_bf16=False)
+    d16, i16_ = _score_groups(
+        jnp.asarray(tape, jnp.bfloat16), *args, score_bf16=True
+    )
+    assert d16.dtype == jnp.float32  # output contract survives bf16 scoring
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / C
+        for a, b in zip(np.asarray(i32_), np.asarray(i16_))
+    ])
+    assert overlap >= 0.9, overlap

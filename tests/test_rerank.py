@@ -140,3 +140,48 @@ def test_rerank_tape_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(d1), np.asarray(d2), rtol=1e-6
         )
+
+
+def test_scale_drift_guard_and_requantize():
+    """Inserts 10x out of the build-time int8 range must set the stats
+    drift flag; compact() requantizes from the f32 side tape and restores
+    recall on the shifted data (VERDICT r2 #9; guards dense.py insert
+    clipping)."""
+    n, d, k = 1500, 24, 5
+    x = _clustered(n, d, seed=7)
+    idx = HNSWIndex.build(
+        x, HNSWConfig(dims=d, storage_dtype="int8"), method="exact"
+    )
+    st = idx.stats()["quantization"]
+    assert not st["scale_drift"] and st["out_of_range_inserts"] == 0
+    # a 10x-magnitude cluster far outside the build distribution
+    rng = np.random.default_rng(11)
+    big = (2000.0 + rng.normal(0, 25, (200, d))).astype(np.float32)
+    idx.insert(big, rowids=np.arange(n, n + 200))
+    st = idx.stats()["quantization"]
+    assert st["scale_drift"] and st["out_of_range_inserts"] == 200
+    assert st["max_abs_seen"] >= 1900.0
+    # pre-requantize, all big rows clip to the same +127 corner: searching
+    # near one of them cannot separate them. compact() must fix that.
+    old_scale = idx.vector_scale
+    idx.compact()
+    assert idx.vector_scale > old_scale
+    st = idx.stats()["quantization"]
+    assert not st["scale_drift"] and st["out_of_range_inserts"] == 0
+    gt = _gt(big, big[:16], k) + n
+    _, rows = idx.search(big[:16], k=k, ef=96)
+    rows = np.asarray(rows)
+    hits = sum(
+        len(set(a[a >= 0].tolist()) & set(b.tolist()))
+        for a, b in zip(rows, gt)
+    )
+    assert hits / gt.size >= 0.9
+    # original corpus still searchable after requantization
+    gt0 = _gt(x, x[:16], k)
+    _, rows0 = idx.search(x[:16], k=k, ef=96)
+    rows0 = np.asarray(rows0)
+    hits0 = sum(
+        len(set(a[a >= 0].tolist()) & set(b.tolist()))
+        for a, b in zip(rows0, gt0)
+    )
+    assert hits0 / gt0.size >= 0.9

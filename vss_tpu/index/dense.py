@@ -75,6 +75,13 @@ class HNSWIndex:
         self._insert_seed = 0
         # int8 tape: global symmetric quantization scale (tape holds x/scale)
         self.vector_scale = 1.0
+        # scale-drift guard: the scale is frozen at build time, so inserts
+        # from a shifted distribution would silently saturate at +-127.
+        # Track the max |value| ever seen (real units) and count
+        # out-of-range insert rows; compact() requantizes from the f32
+        # rerank side tape when drift was flagged (see stats()["quantization"])
+        self.scale_max_abs = 0.0
+        self.scale_overflow = 0
         # optional full-precision side tape [cap, d] (scaled units) for
         # final-stage exact rescoring of quantized-tape searches
         # (config.rerank; shape[0] always tracks graph.capacity)
@@ -127,7 +134,8 @@ class HNSWIndex:
         if config.storage_dtype == "int8":
             # graph-internal values live in scaled units; the scale maps
             # them back for user-visible distances
-            idx.vector_scale = float(np.abs(vectors).max()) / 127.0 or 1.0
+            idx.scale_max_abs = float(np.abs(vectors).max())
+            idx.vector_scale = idx.scale_max_abs / 127.0 or 1.0
             vectors = vectors / idx.vector_scale
         native_threads = 0
         if method == "auto":
@@ -324,7 +332,17 @@ class HNSWIndex:
         if vectors.ndim == 1:
             vectors = vectors[None, :]
         if self.config.storage_dtype == "int8":
-            vectors = vectors / self.vector_scale  # out-of-range clips in-wave
+            # out-of-range values clip in-wave; record the drift so
+            # stats() can surface it and compact() can requantize
+            if vectors.size:
+                mx_rows = np.abs(vectors).max(axis=1)
+                self.scale_max_abs = max(
+                    self.scale_max_abs, float(mx_rows.max())
+                )
+                self.scale_overflow += int(
+                    (mx_rows > self.vector_scale * 127.0).sum()
+                )
+            vectors = vectors / self.vector_scale
         rowids = np.asarray(rowids, np.int64)
         check_rowids_int32(rowids)
         n = vectors.shape[0]
@@ -419,10 +437,39 @@ class HNSWIndex:
         Host-side permutation of the int adjacency arrays; the (large)
         vector tape is permuted on device. Edges into removed slots are
         dropped."""
+        requantized = self._requantize_if_drifted()
         if self.deleted_count == 0 and not self.free_slots:
+            if requantized:
+                self.dirty = True
             return
         kept = np.flatnonzero(np.asarray(self.graph.valid))
         self._apply_slot_permutation(kept)
+
+    def _requantize_if_drifted(self) -> bool:
+        """Requantize the int8 tape from the f32 rerank side tape when
+        inserts overflowed the build-time scale (scale-drift guard).
+        Lossless for all stored values: the rerank tape holds the
+        unclipped scaled f32 vectors. No reference counterpart — usearch
+        has no quantized tape; this guards our int8 storage extension."""
+        if (
+            self.config.storage_dtype != "int8"
+            or self.scale_overflow == 0
+            or self.rerank_tape is None
+        ):
+            return False
+        new_scale = self.scale_max_abs / 127.0
+        if new_scale <= self.vector_scale:
+            self.scale_overflow = 0
+            return False
+        ratio = self.vector_scale / new_scale
+        rt = (self.rerank_tape * ratio).astype(self.rerank_tape.dtype)
+        q = jnp.clip(jnp.round(rt), -127, 127).astype(jnp.int8)
+        self.graph = dataclasses.replace(self.graph, vectors=q)
+        self.rerank_tape = rt
+        self.vector_scale = new_scale
+        self.scale_overflow = 0
+        self.dirty = True
+        return True
 
     def optimize_layout(self, n_clusters: int = 1024, seed: int = 0):
         """Reorder slots so near neighbors sit adjacently in HBM — the
@@ -574,6 +621,8 @@ class HNSWIndex:
         other.graph = self.graph
         other.rerank_tape = self.rerank_tape
         other.vector_scale = self.vector_scale
+        other.scale_max_abs = self.scale_max_abs
+        other.scale_overflow = self.scale_overflow
         other.upper_used = self.upper_used
         other.next_slot = self.next_slot
         other.free_slots = list(self.free_slots)
@@ -625,6 +674,12 @@ class HNSWIndex:
             "approx_memory_bytes": bytes_graph,
             "num_levels": n_levels,
             "levels": per_level,
+            "quantization": {
+                "scale": self.vector_scale,
+                "max_abs_seen": self.scale_max_abs,
+                "out_of_range_inserts": self.scale_overflow,
+                "scale_drift": self.scale_overflow > 0,
+            },
         }
 
 

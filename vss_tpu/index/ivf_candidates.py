@@ -140,6 +140,10 @@ def _score_groups(
             pos, axis=1,
         )
         ci = jnp.where(jnp.isfinite(cd), ci, -1)
+        # out_d is f32 regardless of the scoring dtype (the module contract
+        # is "cand_d ascending f32"); under score_bf16 the selected values
+        # are bf16 and dynamic_update_slice requires matching dtypes
+        cd = cd.astype(jnp.float32)
         return (
             jax.lax.dynamic_update_slice(out_d, cd, (w0 * window, 0)),
             jax.lax.dynamic_update_slice(out_i, ci, (w0 * window, 0)),
@@ -254,8 +258,16 @@ def ivf_candidates(
 
     G = min(8, W_pad)
     approx = use_pallas() and C <= (probes * window) // 8
+    # bf16 scoring tape on TPU: the pass is HBM-bound on the probe-bucket
+    # gather + the [G, window, K] distance matrix; candidate ordering is
+    # all that survives (refine/backlinks re-score at f32) — same trade as
+    # exact_build._knn_all(dist_bf16=True). win_tape stays f32 above so
+    # the centroid sums (step 3) keep full precision.
+    score_bf16 = use_pallas()
     sd, si = _score_groups(
-        win_tape, gids, nbr, C, metric.value, G, window, probes, approx
+        win_tape.astype(jnp.bfloat16) if score_bf16 else win_tape,
+        gids, nbr, C, metric.value, G, window, probes, approx,
+        score_bf16=score_bf16,
     )
     _mark("score", sd, si)
     if progress is not None:

@@ -30,17 +30,20 @@ index, and its tests assert HNSW_INDEX_SCAN / HNSW_INDEX_JOIN in EXPLAIN.
 from __future__ import annotations
 
 # EFFECTIVE rate of the exact-scan kernel over the table (bytes/s).
-# Round-2 measured: 29.2 ms per 512-query batch at 1M x 128 f32 at
-# HIGHEST precision = 17.5 GB/s effective (the kernel is grid-step- and
-# 6-pass-matmul-bound, not HBM-bound; raw HBM streams at 800 GB/s).
-# Re-fit when the kernel improves — CPU runs only need the *ratio* to
-# RANDOM_BW to make the same relative choice.
-STREAM_BW = 17.5e9
-# Effective random row-gather rate of the beam search (bytes/s) through
-# the fused DMA kernel, fit to the measured ~55-65 us/query at ef=32
-# over 1M x 128 (the done-latch retires queries before max_iters, so the
-# effective rate exceeds the raw ~9.4 GB/s gather figure).
-RANDOM_BW = 20e9
+# Fit to the shipped kernel (BENCH_r02.json mfu block): 20.2 ms per
+# 512-query batch at 1M x 128 f32 at HIGHEST precision = 25.3 GB/s
+# effective (the kernel is grid-step- and 6-pass-matmul-bound, not
+# HBM-bound; raw HBM streams at 800 GB/s). Re-fit when the kernel
+# improves — CPU runs only need the *ratio* to RANDOM_BW to make the
+# same relative choice.
+STREAM_BW = 25.3e9
+# Effective random row-gather rate of the beam search (bytes/s), fit to
+# the BENCH_r02 flagship point: 27,847 qps at ef=48 expand=1 int8
+# (row = max(128 B, MIN_FETCH) = 256 B model bytes) -> 35.9 us/query;
+# minus QUERY_OVERHEAD, beam_iters(48,1)*32*256 B / 27.9 us = 29.4 GB/s.
+# The done-latch retires queries before max_iters, so this effective
+# rate exceeds the raw ~5 GB/s gather figure the MFU audit reports.
+RANDOM_BW = 29.4e9
 # Fixed per-query-per-search overhead (s): while_loop step latency that
 # doesn't scale with row width.
 QUERY_OVERHEAD = 8e-6

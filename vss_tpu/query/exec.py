@@ -174,12 +174,19 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
     if isinstance(node, GroupByAggregate):
         chunk = run(node.child)
         n = len(next(iter(chunk.values()))) if chunk else 0
-        # factorize composite group keys
+        # factorize composite group keys; when the running key-product
+        # cardinality would overflow int64, re-compact codes first (at
+        # most n distinct codes ever exist, and n << 2^62)
         codes = np.zeros(n, np.int64)
+        card = 1
         uniques = []
         for key in node.keys:
             u, inv = np.unique(np.asarray(chunk[key]), return_inverse=True)
+            if card > (1 << 62) // (len(u) + 1):
+                codes = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+                card = max(n, 1)
             codes = codes * (len(u) + 1) + inv
+            card = card * (len(u) + 1)
             uniques.append((key, u, inv))
         group_codes, first_pos, ginv = np.unique(
             codes, return_index=True, return_inverse=True

@@ -64,6 +64,8 @@ def serialize_index(idx: HNSWIndex, stream: BinaryIO) -> None:
         "count": int(g.count),
         "deleted_count": idx.deleted_count,
         "vector_scale": idx.vector_scale,
+        "scale_max_abs": idx.scale_max_abs,
+        "scale_overflow": idx.scale_overflow,
         "arrays": table,
     }
     hbytes = json.dumps(header).encode()
@@ -142,6 +144,10 @@ def deserialize_index(stream: BinaryIO) -> HNSWIndex:
     idx.free_slots = [int(s) for s in arrays["free_slots"]]
     idx.deleted_count = header["deleted_count"]
     idx.vector_scale = float(header.get("vector_scale", 1.0))
+    idx.scale_max_abs = float(
+        header.get("scale_max_abs", idx.vector_scale * 127.0)
+    )
+    idx.scale_overflow = int(header.get("scale_overflow", 0))
     valid = arrays["valid"]
     rowids = arrays["slot_to_rowid"]
     idx.rowid_to_slot = {
@@ -225,6 +231,10 @@ def view_index(path: str) -> HNSWIndex:
     idx.free_slots = [int(s) for s in np.asarray(arrays["free_slots"])]
     idx.deleted_count = header["deleted_count"]
     idx.vector_scale = float(header.get("vector_scale", 1.0))
+    idx.scale_max_abs = float(
+        header.get("scale_max_abs", idx.vector_scale * 127.0)
+    )
+    idx.scale_overflow = int(header.get("scale_overflow", 0))
     valid = np.asarray(arrays["valid"])
     rowids = np.asarray(arrays["slot_to_rowid"])
     idx.rowid_to_slot = {
