@@ -55,7 +55,7 @@ def _default_fused(graph: HNSWGraph) -> bool:
     # packed sub-word rows must span >= 128 i32 lanes per DMA (Mosaic
     # alignment, see ops/gather.pack_table)
     packable = (
-        graph.vectors.dtype == jnp.float32
+        (graph.vectors.dtype == jnp.float32 and d % 128 == 0)
         or (graph.vectors.dtype == jnp.bfloat16 and d % 256 == 0)
         or (graph.vectors.dtype == jnp.int8 and d % 512 == 0)
     )
@@ -63,7 +63,7 @@ def _default_fused(graph: HNSWGraph) -> bool:
         return env == "1" and packable
     # default: f32 only for now — the packed sub-word kernel is opt-in
     # (VSS_FUSED_GATHER=1) until A/B'd against the XLA gather on chip
-    return use_pallas() and graph.vectors.dtype == jnp.float32
+    return use_pallas() and graph.vectors.dtype == jnp.float32 and packable
 
 
 def _gathered_norms(x_norms, ids):

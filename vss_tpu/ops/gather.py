@@ -121,7 +121,9 @@ def gather_rows_pallas(table: jax.Array, ids: jax.Array, chunk: int = _CHUNK,
 def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     """Runtime-dispatched row gather: Pallas DMA on TPU, XLA take elsewhere.
     Negative ids are clamped to row 0 (mask at the caller)."""
-    if use_pallas():
+    # Mosaic rejects single-row HBM slices whose last dim is not a
+    # multiple of the 128-lane tiling, so narrow tables take the XLA path
+    if use_pallas() and table.shape[1] % 128 == 0:
         return gather_rows_pallas(table, ids)
     return jnp.take(table, jnp.maximum(ids, 0), axis=0)
 

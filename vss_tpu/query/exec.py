@@ -148,6 +148,11 @@ def explain_analyze(db: Database, node: PlanNode) -> tuple[str, dict]:
             "  " * depth
             + f"{n.label()}  [{own * 1e3:.2f}ms, {rows} rows]"
         ]
+        # operator detail line, matching the reference's analyze boxes
+        # ("HNSW Index: <name>", asserted by where_clause_segfault.test:43)
+        idx_name = getattr(n, "index_name", None)
+        if idx_name is not None:
+            lines.append("  " * (depth + 1) + f"HNSW Index: {idx_name}")
         for c in n.children():
             lines.extend(fmt(c, depth + 1))
         return lines
@@ -219,6 +224,12 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
                     ginv, weights=fmask.astype(np.float64), minlength=n_groups
                 ).astype(np.int64)
                 continue
+            if fn == "bool_and":
+                bv = np.asarray(arg.evaluate(chunk)).astype(bool)
+                res = np.ones(n_groups, bool)
+                np.logical_and.at(res, ginv[fmask], bv[fmask])
+                out[name] = res
+                continue
             vals = np.asarray(arg.evaluate(chunk), np.float64)
             vals = np.where(fmask, vals, np.nan)
             # SQL aggregate semantics: NULLs (NaN-encoded) are skipped;
@@ -277,6 +288,11 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
                 vals = vals[fmask]
             if fn == "count":
                 out[name] = np.asarray([int(np.sum(~_is_null(vals)))])
+                continue
+            if fn == "bool_and":
+                out[name] = np.asarray(
+                    [bool(np.all(vals.astype(bool))) if len(vals) else None]
+                )
                 continue
             # SQL semantics: skip NULLs; empty / all-NULL input -> NULL
             nonnull = vals[~_is_null(vals)] if n else vals

@@ -77,12 +77,16 @@ class FunctionDef:
         fn: Callable,
         index_metric: Optional[Metric],
         ascending_means_nearest: bool = True,
+        needs_chunk: bool = False,
     ):
         self.name = name
         self.fn = fn
         # which index metric gives the same ordering as ORDER BY fn(...) ASC
         self.index_metric = index_metric
         self.ascending_means_nearest = ascending_means_nearest
+        # chunk-context functions (random / row_number / setseed) receive
+        # the column chunk as their first argument to learn the row count
+        self.needs_chunk = needs_chunk
 
 
 DISTANCE_FUNCTIONS: dict[str, FunctionDef] = {
@@ -99,6 +103,81 @@ DISTANCE_FUNCTIONS: dict[str, FunctionDef] = {
     ]
 }
 
+# ------------------------------------------------------- general functions
+# The non-distance scalar surface the reference's SQLLogic tests use
+# (`test/sql/hnsw/*.test`): array construction, list helpers, RNG, and the
+# bare row_number() window. These come from DuckDB core in the reference;
+# here they are part of the SQL layer so the tests run mechanically.
+
+_rng_state = {"rng": np.random.default_rng(0)}
+
+
+def _chunk_len(chunk) -> int:
+    return len(np.asarray(next(iter(chunk.values())))) if chunk else 1
+
+
+def array_value(*cols):
+    return np.stack(
+        [np.asarray(c, np.float32) for c in cols], axis=-1
+    )
+
+
+def _per_row(x, f):
+    x = np.asarray(x)
+    out = np.empty(len(x), object)
+    out[:] = [f(r) for r in x]
+    return out
+
+
+def list_sum(x):
+    return np.asarray(
+        [float(np.sum(np.asarray(r, np.float64))) if r is not None else np.nan
+         for r in np.asarray(x, object)],
+        np.float64,
+    )
+
+
+def flatten(x):
+    return _per_row(
+        np.asarray(x, object),
+        lambda r: np.asarray(r, np.float64).ravel().tolist(),
+    )
+
+
+def sql_len(x):
+    return np.asarray([len(r) for r in np.asarray(x, object)], np.int64)
+
+
+def sql_random(chunk):
+    return _rng_state["rng"].random(_chunk_len(chunk))
+
+
+def sql_setseed(chunk, seed):
+    s = float(np.asarray(seed).ravel()[0])
+    _rng_state["rng"] = np.random.default_rng(
+        np.int64(abs(s) * (1 << 31)) or 0
+    )
+    return np.full(_chunk_len(chunk), None, object)
+
+
+def sql_row_number(chunk):
+    return np.arange(1, _chunk_len(chunk) + 1, dtype=np.int64)
+
+
+GENERAL_FUNCTIONS: dict[str, FunctionDef] = {
+    f.name: f
+    for f in [
+        FunctionDef("array_value", array_value, None),
+        FunctionDef("array_pack", array_value, None),  # expr array literals
+        FunctionDef("list_sum", list_sum, None),
+        FunctionDef("flatten", flatten, None),
+        FunctionDef("len", sql_len, None),
+        FunctionDef("random", sql_random, None, needs_chunk=True),
+        FunctionDef("setseed", sql_setseed, None, needs_chunk=True),
+        FunctionDef("row_number", sql_row_number, None, needs_chunk=True),
+    ]
+}
+
 # operator aliases, as in the reference matcher (hnsw_index.cpp:671-680)
 _ALIASES = {
     "<->": "array_distance",
@@ -109,6 +188,8 @@ _ALIASES = {
 
 def resolve_function(name: str) -> FunctionDef:
     name = _ALIASES.get(name, name)
-    if name not in DISTANCE_FUNCTIONS:
-        raise ValueError(f"unknown function '{name}'")
-    return DISTANCE_FUNCTIONS[name]
+    if name in DISTANCE_FUNCTIONS:
+        return DISTANCE_FUNCTIONS[name]
+    if name in GENERAL_FUNCTIONS:
+        return GENERAL_FUNCTIONS[name]
+    raise ValueError(f"unknown function '{name}'")

@@ -22,7 +22,7 @@ import numpy as np
 from vss_tpu.query.functions import resolve_function
 
 __all__ = [
-    "Expr", "ColumnRef", "Const", "Func", "BinOp", "Not",
+    "Expr", "ColumnRef", "Const", "Func", "BinOp", "Not", "Cast",
     "PlanNode", "Scan", "Filter", "Projection", "Extend", "TopK", "Limit",
     "MinByAgg", "KNNJoin", "HNSWIndexScan", "HNSWIndexJoinNode", "BruteForceTopK",
     "ChunkSource",
@@ -81,6 +81,8 @@ class Func(Expr):
     def evaluate(self, chunk):
         f = resolve_function(self.name)
         vals = [a.evaluate(chunk) for a in self.args]
+        if f.needs_chunk:
+            return f.fn(chunk, *vals)
         return f.fn(*vals)
 
     def children(self):
@@ -105,7 +107,15 @@ class BinOp(Expr):
     right: Expr
 
     def evaluate(self, chunk):
-        return _BINOPS[self.op](self.left.evaluate(chunk), self.right.evaluate(chunk))
+        out = _BINOPS[self.op](
+            self.left.evaluate(chunk), self.right.evaluate(chunk)
+        )
+        # vector (in)equality: `vec = [1,2,3]` compares whole rows (the
+        # reference's ARRAY equality), so reduce the per-component result
+        if self.op in ("=", "==", "!=") and np.ndim(out) > 1:
+            red = np.any if self.op == "!=" else np.all
+            out = red(out, axis=tuple(range(1, np.ndim(out))))
+        return out
 
     def children(self):
         return (self.left, self.right)
@@ -126,6 +136,46 @@ class Not(Expr):
 
     def __str__(self):
         return f"(not {self.child})"
+
+
+@dataclasses.dataclass
+class Cast(Expr):
+    """`expr::TYPE[n]` — the reference tests cast array literals and
+    expression arrays to FLOAT[n] (`test/sql/hnsw/hnsw_basic.test:22`).
+    Numeric casts convert; FLOAT[n] asserts/coerces the row width."""
+
+    child: Expr
+    type_name: str  # upper-case SQL type
+    dims: Optional[int] = None  # array size for TYPE[n]
+
+    def evaluate(self, chunk):
+        v = np.asarray(self.child.evaluate(chunk))
+        if self.dims is not None:
+            out = v.astype(np.float32)
+            if out.ndim >= 1 and out.shape[-1] != self.dims:
+                raise ValueError(
+                    f"cannot cast array of size {out.shape[-1]} to "
+                    f"{self.type_name}[{self.dims}]"
+                )
+            return out
+        if self.type_name in ("FLOAT", "REAL"):
+            return v.astype(np.float32)
+        if self.type_name == "DOUBLE":
+            return v.astype(np.float64)
+        if self.type_name in ("INT", "INTEGER", "BIGINT", "SMALLINT"):
+            return v.astype(np.int64)
+        if self.type_name in ("VARCHAR", "TEXT", "STRING"):
+            return v.astype(object)
+        if self.type_name in ("BOOL", "BOOLEAN"):
+            return v.astype(bool)
+        raise ValueError(f"unsupported cast to {self.type_name}")
+
+    def children(self):
+        return (self.child,)
+
+    def __str__(self):
+        d = f"[{self.dims}]" if self.dims is not None else ""
+        return f"({self.child}::{self.type_name}{d})"
 
 
 # --------------------------------------------------------------- logical plan
@@ -166,7 +216,14 @@ class Projection(PlanNode):
         return (self.child,)
 
     def label(self):
-        return f"PROJECTION({', '.join(self.exprs)})"
+        # print `name=expr` when the expression differs from the output
+        # name, so EXPLAIN shows optimizer expression rewrites (the
+        # reference's hnsw_rewrite.test greps the plan for the rewritten
+        # function name)
+        parts = [
+            k if str(v) == k else f"{k}={v}" for k, v in self.exprs.items()
+        ]
+        return f"PROJECTION({', '.join(parts)})"
 
 
 @dataclasses.dataclass

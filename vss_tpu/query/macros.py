@@ -22,7 +22,7 @@ from vss_tpu.ops.distance import Metric
 from vss_tpu.ops.topk import bruteforce_topk
 from vss_tpu.query.table import BinderError, Database
 
-__all__ = ["vss_join", "vss_match"]
+__all__ = ["vss_join", "vss_match", "vss_match_lateral"]
 
 
 def _metric_of(metric: str) -> Metric:
@@ -102,4 +102,50 @@ def vss_match(
     keep = slots >= 0
     out = rt.chunk(slots[keep])
     out["score"] = _user_score(d[keep], m).astype(np.float32)
+    return out
+
+
+def vss_match_lateral(
+    db: Database,
+    left_table: str,
+    right_table: str,
+    left_col: str,
+    right_col: str,
+    k: int,
+    metric: str = "l2sq",
+) -> dict[str, np.ndarray]:
+    """Correlated `FROM lt, vss_match(rt, left_col, right_col, k)`: one
+    output row per left row carrying a `matches` list of
+    {'score', 'row'} structs — the reference macro's min_by/max_by shape
+    (`hnsw_index_macros.cpp:48-74`), evaluated as one batched MXU pass."""
+    m = _metric_of(metric)
+    lt, rt = db.table(left_table), db.table(right_table)
+    lq = lt.chunk()
+    queries = np.asarray(lq[left_col], np.float32)
+    if queries.ndim != 2:
+        raise BinderError(f"'{left_col}' is not a vector column")
+    nL = queries.shape[0]
+    out = {c: v for c, v in lq.items() if c != "__rowid__"}
+    if nL == 0 or rt.num_rows == 0:
+        out["matches"] = np.empty(nL, object)
+        out["matches"][:] = [[] for _ in range(nL)]
+        return out
+    rvecs, rvalid = rt.device_column(right_col)
+    d, slots = bruteforce_topk(jnp.asarray(queries), rvecs, k, m, valid_mask=rvalid)
+    d, slots = np.asarray(d), np.asarray(slots)
+    scores = _user_score(np.maximum(d, 0.0), m)
+    rchunk = rt.chunk()
+    matches = []
+    for i in range(nL):
+        row_matches = []
+        for j in range(slots.shape[1]):
+            s = slots[i, j]
+            if s < 0:
+                continue
+            row = {c: v[s] for c, v in rchunk.items() if c != "__rowid__"}
+            row_matches.append({"score": float(scores[i, j]), "row": row})
+        matches.append(row_matches)
+    arr = np.empty(nL, object)
+    arr[:] = matches
+    out["matches"] = arr
     return out

@@ -91,9 +91,15 @@ def rewrite_expr(e: Expr) -> Expr:
             return Func("array_cosine_distance", right.args)
         return BinOp(e.op, left, right)
     if isinstance(e, Func):
-        return Func(e.name, [rewrite_expr(a) for a in e.args])
+        f = Func(e.name, [rewrite_expr(a) for a in e.args])
+        f.orders, f.filter = e.orders, e.filter
+        return f
     if isinstance(e, Not):
         return Not(rewrite_expr(e.child))
+    from vss_tpu.query.ir import Cast
+
+    if isinstance(e, Cast):
+        return Cast(rewrite_expr(e.child), e.type_name, e.dims)
     return e
 
 
@@ -410,7 +416,13 @@ def _rewrite_knn_join(db: Database, node: KNNJoin) -> Optional[PlanNode]:
 
 def optimize(db: Database, node: PlanNode) -> PlanNode:
     """Apply expression rewrites, plan rewrites (top-down), then push
-    projections into the physical scans."""
+    projections into the physical scans.
+
+    `PRAGMA disable_optimizer` (a DuckDB core pragma the reference's
+    tests use, e.g. `hnsw_rewrite.test:20`) turns the whole pass off —
+    plans execute in their parsed logical shape."""
+    if db.settings.get("disable_optimizer"):
+        return node
     node = _rewrite_plan_exprs(node)
     node = _optimize_node(db, node)
     return _pushdown_projections(db, node)

@@ -53,7 +53,7 @@ _TOKEN_RE = re.compile(
       (?P<num>-?\d+\.\d*(?:[eE][+-]?\d+)?|-?\.\d+(?:[eE][+-]?\d+)?|-?\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^']|'')*')
     | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><=>|<->|<\#>|<=|>=|!=|==|\(|\)|\[|\]|,|;|\*|=|<|>|\+|-|/|\.)
+    | (?P<op>::|<=>|<->|<\#>|<=|>=|!=|==|\(|\)|\[|\]|,|;|\*|=|<|>|\+|-|/|\.)
     )
     """,
     re.VERBOSE,
@@ -152,6 +152,11 @@ class _Parser:
         if kind == "op" and v in ("<->", "<=>", "<#>"):
             self.next()
             return Func(v, [e, self._add()])
+        if self.accept_kw("BETWEEN"):
+            lo = self._add()
+            self.expect_kw("AND")
+            hi = self._add()
+            return BinOp("and", BinOp(">=", e, lo), BinOp("<=", e, hi))
         return e
 
     def _add(self) -> Expr:
@@ -175,6 +180,51 @@ class _Parser:
                 return e
 
     def _primary(self) -> Expr:
+        return self._postfix(self._primary_base())
+
+    def _postfix(self, e: Expr) -> Expr:
+        """`expr::TYPE[n]` cast chains (hnsw_basic.test:22 etc.). Casts of
+        numeric constants fold at parse time so `[1,2,3]::FLOAT[3]` stays
+        a Const the index matcher can bind (`rewrite.match_distance_order`
+        requires Func(column, Const))."""
+        from vss_tpu.query.ir import Cast
+
+        while self.accept_op("::"):
+            tname = self.ident().upper()
+            dims = None
+            if self.accept_op("["):
+                k2, d = self.next()
+                if k2 != "num":
+                    raise BinderError("cast array type needs a size")
+                self.expect_op("]")
+                dims = int(d)
+            if (
+                isinstance(e, Const)
+                and e.value is not None
+                and not isinstance(e.value, str)
+            ):
+                v = np.asarray(e.value)
+                if dims is not None:
+                    if v.ndim == 1 and v.shape[0] != dims:
+                        raise BinderError(
+                            f"cannot cast array of size {v.shape[0]} to "
+                            f"{tname}[{dims}]"
+                        )
+                    e = Const(v.astype(np.float32))
+                elif tname in ("FLOAT", "REAL", "DOUBLE") and v.ndim == 0:
+                    e = Const(float(v))
+                elif (
+                    tname in ("INT", "INTEGER", "BIGINT", "SMALLINT")
+                    and v.ndim == 0
+                ):
+                    e = Const(int(v))
+                else:
+                    e = Cast(e, tname, dims)
+            else:
+                e = Cast(e, tname, dims)
+        return e
+
+    def _primary_base(self) -> Expr:
         kind, v = self.peek()
         if kind == "num":
             self.next()
@@ -186,13 +236,24 @@ class _Parser:
             self.next()
             return Const(v[1:-1].replace("''", "'"))
         if kind == "op" and v == "[":
-            return Const(self._array_literal())
+            return self._array_expr()
         if kind == "op" and v == "(":
             self.next()
             e = self.expr()
             self.expect_op(")")
             return e
         if kind == "id":
+            up = v.upper()
+            if up == "NULL":
+                self.next()
+                return Const(None)
+            if up in ("TRUE", "FALSE"):
+                self.next()
+                return Const(up == "TRUE")
+            if up == "ARRAY" and self.toks[self.i + 1][1] == "[":
+                # ARRAY[...] literal prefix (hnsw_lateral_join.test:14)
+                self.next()
+                return self._array_expr()
             name = self.next()[1]
             if self.accept_op("("):
                 args = []
@@ -211,6 +272,10 @@ class _Parser:
                             orders = self.order_key_list()
                         self.expect_op(")")
                     f = Func(name.lower(), args, orders=orders)
+                # bare window: row_number() OVER () (hnsw_join_macro.test:10)
+                if self.accept_kw("OVER"):
+                    self.expect_op("(")
+                    self.expect_op(")")
                 # agg(...) FILTER (WHERE p)
                 if self.accept_kw("FILTER"):
                     self.expect_op("(")
@@ -224,6 +289,26 @@ class _Parser:
                 return ColumnRef(f"{name}.{col}")
             return ColumnRef(name)
         raise BinderError(f"unexpected token {v!r} in expression")
+
+    def _array_expr(self) -> Expr:
+        """`[e1, e2, ...]`: a Const vector when every element is a numeric
+        literal, else an array_pack() expression evaluated row-wise (the
+        `[random(), random(), random()]` form, hnsw_lateral_join_group)."""
+        self.expect_op("[")
+        elems: list[Expr] = []
+        if not self.accept_op("]"):
+            while True:
+                elems.append(self.expr())
+                if self.accept_op("]"):
+                    break
+                self.expect_op(",")
+        if all(
+            isinstance(e, Const) and np.ndim(e.value) == 0
+            and not isinstance(e.value, (str, bool, type(None)))
+            for e in elems
+        ):
+            return Const(np.asarray([float(e.value) for e in elems], np.float32))
+        return Func("array_pack", elems)
 
     def order_key_list(self) -> list:
         """[(expr, ascending)], comma-separated with optional ASC/DESC."""
@@ -275,7 +360,7 @@ class _Parser:
 _FROM_STOP = {
     "WHERE", "GROUP", "ORDER", "LIMIT", "LATERAL", "ON", "USING", "JOIN",
     "AS", "ASC", "DESC", "FILTER", "AND", "OR", "NOT", "SELECT", "FROM",
-    "BY", "SET", "VALUES", "INTO",
+    "BY", "SET", "VALUES", "INTO", "OVER", "BETWEEN", "HAVING",
 }
 
 
@@ -372,14 +457,57 @@ def _lower_lateral(db, outer_table, outer_alias, sub) -> "PlanNode":
     )
 
 
-def _parse_select(p: _Parser, db: Database) -> PlanNode:
-    p.expect_kw("SELECT")
-    items = _parse_select_items(p)
-    p.expect_kw("FROM")
-    src = p.ident()
-    lateral = None
-    src_alias = src
-    if p.accept_op("("):  # table function
+def _value_of(e: Expr):
+    """Evaluate a VALUES-clause expression to a Python value (constant
+    folding over a 1-row dummy chunk; Const passes through so NULL and
+    strings keep their Python types)."""
+    if isinstance(e, Const):
+        return e.value
+    v = np.asarray(e.evaluate({}))
+    return v[0] if v.ndim >= 1 else v.item()
+
+
+def _find_minby(e: Expr) -> Optional[Func]:
+    if isinstance(e, Func) and e.name in ("min_by", "max_by"):
+        return e
+    for c in e.children():
+        r = _find_minby(c)
+        if r is not None:
+            return r
+    return None
+
+
+def _replace_subexpr(e: Expr, target: Expr, repl: Expr) -> Expr:
+    if e is target:
+        return repl
+    if isinstance(e, BinOp):
+        return BinOp(
+            e.op,
+            _replace_subexpr(e.left, target, repl),
+            _replace_subexpr(e.right, target, repl),
+        )
+    if isinstance(e, Func):
+        f = Func(
+            e.name,
+            [_replace_subexpr(a, target, repl) for a in e.args],
+            orders=e.orders,
+        )
+        f.filter = e.filter
+        return f
+    if isinstance(e, Not):
+        return Not(_replace_subexpr(e.child, target, repl))
+    from vss_tpu.query.ir import Cast
+
+    if isinstance(e, Cast):
+        return Cast(_replace_subexpr(e.child, target, repl), e.type_name, e.dims)
+    return e
+
+
+def _parse_from_item(p: _Parser):
+    """One FROM item: `table [alias]` or `fn(args) [alias [(colnames)]]`.
+    Returns ("table", name, alias) or ("func", name, args, alias, cols)."""
+    name = p.ident()
+    if p.accept_op("("):
         args = []
         if not p.accept_op(")"):
             while True:
@@ -391,16 +519,99 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
                 if p.accept_op(")"):
                     break
                 p.expect_op(",")
-        node = _table_function(db, src.lower(), args)
+        alias = _maybe_alias(p)
+        cols = None
+        if p.accept_op("("):  # range(1,10) ra(a) — output column names
+            cols = [p.ident()]
+            while p.accept_op(","):
+                cols.append(p.ident())
+            p.expect_op(")")
+        return ("func", name.lower(), args, alias, cols)
+    alias = _maybe_alias(p) or name
+    return ("table", name, alias)
+
+
+def _range_cross_product(items) -> "PlanNode":
+    """FROM range(a,b) r1(x), range(a,b) r2(y), ... — the reference tests'
+    data generator (`hnsw_basic.test:14`). Materialized eagerly (the grids
+    are small: 9^3, 10^4); row order = first item varies slowest."""
+    from vss_tpu.query.ir import ChunkSource
+
+    cols: list[tuple[str, np.ndarray]] = []
+    for _, name, args, alias, colnames in items:
+        vals = [int(a) for a in args]
+        lo, hi = (0, vals[0]) if len(vals) == 1 else (vals[0], vals[1])
+        cname = colnames[0] if colnames else "range"
+        cols.append((cname, np.arange(lo, hi, dtype=np.int64)))
+    sizes = [len(a) for _, a in cols]
+    total = int(np.prod(sizes)) if sizes else 0
+    data = {}
+    for i, (cname, arr) in enumerate(cols):
+        inner = int(np.prod(sizes[i + 1:])) if i + 1 < len(sizes) else 1
+        outer = total // (len(arr) * inner)
+        data[cname] = np.tile(np.repeat(arr, inner), outer)
+    return ChunkSource("range", data)
+
+
+def _parse_select(p: _Parser, db: Database) -> PlanNode:
+    from vss_tpu.query.ir import ChunkSource
+
+    p.expect_kw("SELECT")
+    items = _parse_select_items(p)
+    lateral = None
+    src = None
+    src_alias = None
+    if not p.accept_kw("FROM"):
+        # SELECT without FROM (`SELECT setseed(0.1337)`): one dummy row
+        node = ChunkSource("dual", {"__dual__": np.zeros(1, np.int64)})
     else:
-        src_alias = _maybe_alias(p) or src
-        if p.accept_op(","):
-            p.expect_kw("LATERAL")
-            lateral = _parse_lateral_subquery(p)
-            _maybe_alias(p)  # optional alias on the lateral item
+        first = _parse_from_item(p)
+        rest = []
+        while p.accept_op(","):
+            if p.accept_kw("LATERAL"):
+                lateral = _parse_lateral_subquery(p)
+                _maybe_alias(p)  # optional alias on the lateral item
+                break
+            rest.append(_parse_from_item(p))
+        if first[0] == "table":
+            src, src_alias = first[1], first[2]
+        if lateral is not None:
+            if first[0] != "table" or rest:
+                raise BinderError("LATERAL requires a single left table")
             node = _lower_lateral(db, src, src_alias, lateral)
+        elif not rest:
+            if first[0] == "table":
+                node = Scan(src)
+            elif first[1] == "range":
+                node = _range_cross_product([first])
+            else:
+                node = _table_function(db, first[1], first[2])
+        elif all(it[0] == "func" and it[1] == "range" for it in (first, *rest)):
+            node = _range_cross_product([first, *rest])
+        elif (
+            first[0] == "table"
+            and len(rest) == 1
+            and rest[0][0] == "func"
+            and rest[0][1] == "vss_match"
+        ):
+            # correlated macro: FROM s, vss_match(t, s_col, t_col, k)
+            # (`hnsw_join_macro.test:33`) — s_col ranges over s's rows
+            from vss_tpu.query.macros import vss_match_lateral
+
+            args = rest[0][2]
+            if len(args) not in (4, 5):
+                raise BinderError(
+                    "vss_match(right_table, left_col, right_col, k[, metric])"
+                )
+            data = vss_match_lateral(
+                db, src, args[0], args[1], args[2], int(args[3]), *args[4:]
+            )
+            node = ChunkSource("vss_match", data)
         else:
-            node = Scan(src)
+            raise BinderError(
+                "unsupported FROM list (supported: table [, LATERAL (...)], "
+                "range() cross products, table, vss_match(...))"
+            )
     if p.accept_kw("WHERE"):
         node = Filter(node, p.expr())
     group_keys: list[str] = []
@@ -429,24 +640,30 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             raise BinderError("LIMIT must be an integer")
         limit = int(v)
 
-    # min_by / max_by aggregate form
-    if (
-        len(items) == 1
-        and items[0][1] is not None
-        and isinstance(items[0][1], Func)
-        and items[0][1].name in ("min_by", "max_by")
-    ):
-        f = items[0][1]
-        if len(f.args) != 3 or not isinstance(f.args[2], Const):
-            raise BinderError(f"{f.name}(value, order, k) requires constant k")
-        out = items[0][0] or f.name
-        return MinByAgg(
-            node, f.args[0], f.args[1], int(f.args[2].value), out,
-            filter=f.filter, descending=(f.name == "max_by"),
-        )
+    # min_by / max_by aggregate form, possibly nested inside an outer
+    # scalar expression (`SELECT list_sum(flatten(min_by(...))) BETWEEN
+    # 44 AND 50 FROM t1`, hnsw_topk.test:26-34)
+    if len(items) == 1 and items[0][1] is not None and not group_keys:
+        f = _find_minby(items[0][1])
+        if f is not None:
+            if len(f.args) != 3 or not isinstance(f.args[2], Const):
+                raise BinderError(
+                    f"{f.name}(value, order, k) requires constant k"
+                )
+            bare = items[0][1] is f
+            out = (items[0][0] or f.name) if bare else "__minby"
+            agg = MinByAgg(
+                node, f.args[0], f.args[1], int(f.args[2].value), out,
+                filter=f.filter, descending=(f.name == "max_by"),
+            )
+            if bare:
+                return agg
+            name = items[0][0] or str(items[0][1])
+            wrapped = _replace_subexpr(items[0][1], f, ColumnRef(out))
+            return Projection(agg, {name: wrapped})
 
     # aggregates: count(*)/count/sum/min/max/avg/list, optionally GROUP BY
-    _AGGS = ("count", "sum", "min", "max", "avg", "list")
+    _AGGS = ("count", "sum", "min", "max", "avg", "list", "bool_and")
 
     def _is_agg(e):
         return e is not None and isinstance(e, Func) and e.name in _AGGS
@@ -497,6 +714,22 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
 
         return SimpleAggregate(node, _agg_items(items))
 
+    # ORDER BY may reference select aliases (`SELECT dist(...) as x ...
+    # ORDER BY x`, hnsw_result.test:22); the TopK sits below the
+    # projection, so substitute the aliased expression into the key
+    alias_map = {
+        a: e for a, e in items if a is not None and e is not None
+    }
+    def _resolve_alias(e):
+        if isinstance(e, ColumnRef) and e.name in alias_map:
+            return alias_map[e.name]
+        return e
+
+    if order is not None:
+        order = _resolve_alias(order)
+        if order_tail:
+            order_tail = [(_resolve_alias(e), asc) for e, asc in order_tail]
+
     if order is not None and limit is not None:
         node = TopK(node, order, limit, ascending, tail=order_tail)
     elif order is not None:
@@ -504,7 +737,12 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
     elif limit is not None:
         node = Limit(node, limit)
 
-    if not (len(items) == 1 and items[0][1] is None):
+    # A bare `select *` over a plain table can return the scan chunk as-is,
+    # but over a lateral join the raw output carries qualified duplicates
+    # (`a.a_vec`) for correlation scoping — those must be projected away so
+    # the user-visible row shape matches DuckDB's star expansion
+    # (hnsw_lateral_join.test:21 expects exactly outer+sub columns).
+    if not (len(items) == 1 and items[0][1] is None and lateral is None):
         exprs: dict[str, Expr] = {}
         if src in db.tables:
             table_cols = db.table(src).column_names()
@@ -535,11 +773,6 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
     return node
 
 
-class _InfoPlan(PlanNode):
-    def label(self):
-        return "PRAGMA_HNSW_INDEX_INFO()"
-
-
 def _table_function(db: Database, name: str, args: list):
     """FROM-clause table functions: pragma_hnsw_index_info(), and the
     matching helpers the reference registers as SQL macros
@@ -550,7 +783,13 @@ def _table_function(db: Database, name: str, args: list):
     if name == "pragma_hnsw_index_info":
         if args:
             raise BinderError("pragma_hnsw_index_info takes no arguments")
-        return _InfoPlan()
+        rows = db.hnsw_index_info()
+        data = (
+            {k: np.asarray([r[k] for r in rows], object) for k in rows[0]}
+            if rows
+            else {}
+        )
+        return ChunkSource("pragma_hnsw_index_info()", data)
     if name == "vss_join":
         from vss_tpu.query.macros import vss_join
 
@@ -641,8 +880,6 @@ def _execute_one(db: Database, text: str):
         p.next()
         analyze = bool(p.accept_kw("ANALYZE"))
         plan = _parse_select(p, db)
-        if isinstance(plan, _InfoPlan):
-            return {"explain": [plan.label()]}
         if analyze:
             report, _ = db.explain_analyze(plan)
             return {"explain": [report]}
@@ -652,14 +889,6 @@ def _execute_one(db: Database, text: str):
 
     if kw == "SELECT":
         plan = _parse_select(p, db)
-        if isinstance(plan, _InfoPlan):
-            rows = db.hnsw_index_info()
-            if not rows:
-                return {}
-            return {
-                k: np.asarray([r[k] for r in rows], dtype=object)
-                for k in rows[0]
-            }
         return db.execute(plan)
 
     if kw == "CREATE":
@@ -758,20 +987,41 @@ def _execute_one(db: Database, text: str):
         p.expect_kw("INTO")
         table = p.ident()
         t = db.table(table)
-        p.expect_kw("VALUES")
-        names = t.column_names()
-        data: dict[str, list] = {c: [] for c in names}
-        while True:
-            p.expect_op("(")
-            for j, c in enumerate(names):
-                if j:
-                    p.expect_op(",")
-                data[c].append(p._literal())
+        col_list = None
+        if p.accept_op("("):  # INSERT INTO t (a, b) ...
+            col_list = [p.ident()]
+            while p.accept_op(","):
+                col_list.append(p.ident())
             p.expect_op(")")
-            if not p.accept_op(","):
-                break
-        # keep raw python lists: Table.append maps None -> NULL (NaN) rows
-        db.insert(table, data)
+        names = col_list or t.column_names()
+        if sorted(names) != sorted(t.column_names()):
+            raise BinderError(
+                "INSERT column list must cover the full table schema"
+            )
+        if p.accept_kw("VALUES"):
+            data: dict[str, list] = {c: [] for c in names}
+            while True:
+                p.expect_op("(")
+                for j, c in enumerate(names):
+                    if j:
+                        p.expect_op(",")
+                    data[c].append(_value_of(p.expr()))
+                p.expect_op(")")
+                if not p.accept_op(","):
+                    break
+            # keep raw python lists: Table.append maps None -> NULL (NaN)
+            db.insert(table, data)
+            return None
+        # INSERT INTO t [cols] SELECT ... (hnsw_basic.test:14)
+        plan = _parse_select(p, db)
+        res = db.execute(plan)
+        vals = list(res.values())
+        if len(vals) != len(names):
+            raise BinderError(
+                f"INSERT expects {len(names)} columns, SELECT produced "
+                f"{len(vals)}"
+            )
+        db.insert(table, {c: np.asarray(v) for c, v in zip(names, vals)})
         return None
 
     if kw == "DELETE":
@@ -820,6 +1070,13 @@ def _execute_one(db: Database, text: str):
             idx = p._literal()
             p.expect_op(")")
             db.hnsw_compact_index(str(idx))
+            return None
+        if name.lower() in ("disable_optimizer", "enable_optimizer"):
+            # DuckDB core pragmas the reference tests toggle around their
+            # index-vs-no-index parity checks (hnsw_rewrite.test:20)
+            db.set_setting(
+                "disable_optimizer", name.lower() == "disable_optimizer"
+            )
             return None
         raise BinderError(f"unknown pragma '{name}'")
 

@@ -312,12 +312,22 @@ class Database:
             "hnsw_enable_experimental_persistence": False,
             # extension beyond the reference: push WHERE predicates into
             # the index scan (filtered_search) so k matching rows come
-            # back, instead of post-filtering the k nearest
-            "hnsw_pushdown_filters": False,
+            # back, instead of post-filtering the k nearest. Default ON:
+            # the reference's pull-up-only plan can return fewer than k
+            # rows under a filter (its own where_clause_segfault.test
+            # only passes by traversal luck); with pushdown the pulled-up
+            # recheck still runs above the scan, so results are a strict
+            # superset of the reference's. Matches index_dense.hpp's
+            # filtered_search (`index_dense.hpp:1816-1828`).
+            "hnsw_pushdown_filters": True,
             # extension beyond the reference: cost-based choice between
             # the index and the exact MXU scan (query/cost.py). Off by
             # default so plan shapes stay reference-parity.
             "hnsw_cost_model": False,
+            # DuckDB core pragma the reference tests use
+            # (hnsw_rewrite.test:20, hnsw_join_macro.test:22): disables
+            # all plan rewrites so queries run in parsed logical shape
+            "disable_optimizer": False,
         }
         self.path = path  # set -> "disk-backed" (persistence gate applies)
         # coarse catalog/DML lock (the reference gets per-index rwlocks
@@ -393,7 +403,7 @@ class Database:
         ef_construction: int = 128,
         ef_search: int = 64,
         m: int = 16,
-        m0: int = 0,
+        m0: "int | None" = None,
         storage: str = "f32",
         wave_size: int = 1024,
         seed: int = 0,
@@ -431,7 +441,9 @@ class Database:
             ("ef_construction", ef_construction, 1),
             ("ef_search", ef_search, 1),
             ("M", m, 2),
-            ("M0", m0 if m0 else 2 * m, 2),
+            # None = option not given (defaults to 2*M); an explicit 0 is
+            # rejected like the reference does (hnsw_index_plan.cpp:33-80)
+            ("M0", 2 * m if m0 is None else m0, 2),
         ):
             if not isinstance(val, (int, np.integer)) or isinstance(val, bool):
                 raise BinderError(f"HNSW index '{label}' must be an integer")
@@ -451,7 +463,7 @@ class Database:
             dims=dims,
             metric=metric,
             m=m,
-            m0=m0,
+            m0=m0 or 0,
             ef_construction=ef_construction,
             ef_search=ef_search,
             storage_dtype=storage,
