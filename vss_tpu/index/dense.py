@@ -94,6 +94,7 @@ class HNSWIndex:
         self._pivot_cache: Optional[tuple] = None
         self._norms_cache: Optional[tuple] = None
         self._packed_cache: Optional[tuple] = None
+        self._grouped_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -228,12 +229,20 @@ class HNSWIndex:
         g = self.graph
         pivot_slots, pivot_vecs = self.pivots()
         packed, packing = self.packed_tape()
+        import os as _os
+
+        group_tape, group = (None, 4)
+        if _os.environ.get("VSS_GROUP_FETCH", "0") == "1":
+            gt_, g_ = self.grouped_tape()
+            if gt_ is not None:
+                group_tape, group = gt_, g_
         d, slots = hnsw_search(
             g, self.config, q, k, ef=ef, filter_mask=filter_mask,
             expand=expand, assume_all_valid=self.deleted_count == 0,
             pivot_slots=pivot_slots, pivot_vecs=pivot_vecs,
             x_norms=self.norms(), packed_tape=packed, packing=packing,
-            rerank_tape=self.rerank_tape,
+            rerank_tape=self.rerank_tape, group_tape=group_tape,
+            group=group,
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
@@ -301,6 +310,60 @@ class HNSWIndex:
             words, packing = None, 1
         self._packed_cache = (g, words, packing)
         return words, packing
+
+    def grouped_tape(self):
+        """(grouped_view, group) for the group-fetch gather kernel
+        (`ops/gather.pack_group_table`): 4 transpose-packed int8 rows per
+        128-lane DMA descriptor. (None, 0) when inapplicable. Cached per
+        graph version."""
+        g = self.graph
+        if self._grouped_cache is not None and self._grouped_cache[0] is g:
+            return self._grouped_cache[1], self._grouped_cache[2]
+        from vss_tpu.utils import use_pallas
+
+        if g.vectors.dtype != jnp.int8 or not use_pallas():
+            self._grouped_cache = (g, None, 0)
+            return None, 0
+        from vss_tpu.ops.gather import pack_group_table
+
+        words, group = pack_group_table(g.vectors)
+        self._grouped_cache = (g, words, group)
+        return words, group
+
+    def scan_search(
+        self,
+        queries,
+        k: int,
+        filter_mask: Optional[jax.Array] = None,
+    ):
+        """Exact-scan serving path (`ops/scan.scan_topk`): one storage-
+        native pass over the tape + exact f32 rerank — the fastest
+        operator at flagship scale on TPU (the MXU-brute-force insight;
+        distances exact w.r.t. the rerank tape when one exists). Returns
+        (dists [B, k] f32, rowids [B, k], -1 pad) like search()."""
+        from vss_tpu.ops.scan import scan_topk
+
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.config.storage_dtype == "int8":
+            q = q / self.vector_scale
+        g = self.graph
+        allow = g.valid
+        if filter_mask is not None:
+            allow = allow & filter_mask
+        d, slots = scan_topk(
+            q, g.vectors, k, self.config.metric, valid_mask=allow,
+            x_norms=self.norms(), rerank_tape=self.rerank_tape,
+        )
+        if self.config.storage_dtype == "int8":
+            d = self._rescale_distances(d)
+        rows = jnp.where(
+            slots >= 0,
+            jnp.take(g.slot_to_rowid, jnp.maximum(slots, 0)),
+            -1,
+        )
+        return d, rows
 
     def slot_rowid_array(self) -> np.ndarray:
         """slot -> rowid tape, host copy (filtered-search mask surface)."""

@@ -247,6 +247,8 @@ def beam_search_base(
     fused: bool = False,
     packed_tape: Optional[jax.Array] = None,
     packing: int = 1,
+    group_tape: Optional[jax.Array] = None,
+    group: int = 4,
 ):
     """Beam search with pool size `ef` from per-query seed nodes.
 
@@ -370,7 +372,29 @@ def beam_search_base(
         if E > 1:
             # cross-group block compares beat sort-based dedupe at small E
             neigh = _dedupe_across_groups(neigh, E, m0)
-        if fused:
+        if group_tape is not None and base:
+            # group-fetch: one DMA descriptor moves G transpose-packed
+            # rows (>= 512B, 128-lane aligned) and yields G candidates —
+            # the round-3 answer to the per-row descriptor-issue ceiling
+            # at d=128 int8 (see ops/gather.pack_group_table). The G-1
+            # slot-adjacent extras are real scored rows (exact distances)
+            # that widen the pool for free after layout clustering.
+            from vss_tpu.ops.gather import (
+                group_candidate_ids,
+                group_distances_pallas,
+            )
+
+            groups = jnp.where(neigh >= 0, neigh // group, -1)
+            groups = _dedupe_keep_first(groups)
+            nd, _ = group_distances_pallas(
+                group_tape, groups, q, config.metric, q_norms, group=group
+            )
+            neigh = group_candidate_ids(groups, group)  # [B, G*E*m0]
+            # the expansion resurrects ids already masked as known dups
+            dup2 = (neigh[:, :, None] == known[:, None, :]).any(axis=2)
+            neigh = jnp.where(dup2, -1, neigh)
+            nd = jnp.where(neigh >= 0, nd, _INF)
+        elif fused:
             # fused Pallas gather+score: sentinel ids (dups, padding,
             # finished queries) issue no DMA and cost nothing
             from vss_tpu.ops.gather import gather_distances_pallas
@@ -490,13 +514,14 @@ def pivot_seeds(
     jax.jit,
     static_argnames=(
         "config", "k", "ef", "expand", "max_iters", "dual_pool",
-        "use_history", "fused", "n_seeds", "packing",
+        "use_history", "fused", "n_seeds", "packing", "group",
     ),
 )
 def _hnsw_search_impl(
     graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
     use_history=True, fused=False, pivot_slots=None, pivot_vecs=None,
     n_seeds=4, x_norms=None, packed_tape=None, packing=1, rerank_tape=None,
+    group_tape=None, group=4,
 ):
     metric = Metric.parse(config.metric)
     q_norms = None
@@ -526,7 +551,7 @@ def _hnsw_search_impl(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
         x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
         use_history=use_history, fused=fused, packed_tape=packed_tape,
-        packing=packing,
+        packing=packing, group_tape=group_tape, group=group,
     )
     if rerank_tape is not None:
         # exact rescoring of the ef-wide pool against the full-precision
@@ -575,6 +600,8 @@ def hnsw_search(
     packed_tape: Optional[jax.Array] = None,
     packing: int = 1,
     rerank_tape: Optional[jax.Array] = None,
+    group_tape: Optional[jax.Array] = None,
+    group: int = 4,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -614,6 +641,7 @@ def hnsw_search(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
         max_iters, dual_pool, use_history, fused, pivot_slots,
         pivot_vecs, n_seeds, x_norms, packed_tape, packing, rerank_tape,
+        group_tape, group,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}

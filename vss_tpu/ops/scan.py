@@ -1,0 +1,273 @@
+"""Storage-native exact-scan: stream the tape in its stored dtype.
+
+The round-2 exact scan (`ops/topk.bruteforce_topk`) converts the whole
+table to f32 and runs the MXU at HIGHEST precision — correct for the
+user-facing EXACT operator, but it streams 4x the bytes of an int8 tape
+and runs the matmul an order of magnitude below the chip's bf16 rate.
+This module is the ANN-grade fast path the flagship serves:
+
+  phase A (winnow): one pass over the tape IN ITS STORED DTYPE. Tiles
+    decode to bf16 in VMEM (int8 -> bf16 is exact: 8 mantissa bits cover
+    +-127) and the MXU runs at DEFAULT precision. The distance proxy
+    drops the query-norm term entirely — it is constant per query, so
+    per-query ordering is unchanged — and takes row norms from a
+    precomputed f32 tape instead of recomputing them per tile. The tile
+    reduces to per-128-lane-segment minima written straight to HBM
+    (the provably-exact winnowing argument lives in ops/topk.py).
+  phase B (segment rescore): gather the `keep` best segments' rows
+    (consecutive 128-row blocks — near-stream DMA) from the STORED tape,
+    decode, and score exactly (f32 HIGHEST on the decoded values).
+  phase C (exact rerank): gather the top ~2k candidate rows from the f32
+    side tape (`rerank_tape`, held in scaled units by the int8 config)
+    and rescore at full precision; the final top-k ordering is exact
+    with respect to the f32 data whenever phases A/B kept the true
+    winners (they keep 128*keep >= 16k candidates; measured recall ~1.0).
+
+Replaces the role of `search_exact_`
+(/root/reference/src/include/usearch/index.hpp:4004-4025) at serving
+time; `bruteforce_topk` remains the bit-exact oracle path.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from vss_tpu.ops.distance import Metric, _epilogue
+from vss_tpu.ops.topk import _ITER_K_MAX, _SEG, _iter_min_k
+from vss_tpu.utils import pad_to, round_up
+
+__all__ = ["scan_topk", "native_scan_supported"]
+
+_INF = float("inf")
+
+
+def native_scan_supported(dtype) -> bool:
+    return dtype in (jnp.int8, jnp.bfloat16, jnp.float32)
+
+
+def _native_segmin_kernel(
+    q_ref, x_ref, xn_ref, v_ref, out_ref, *, metric_name: str, subt: int
+):
+    """Per-tile distance-proxy seg-min. q [qb, d] bf16; x [tile, d] stored
+    dtype; xn [1, tile] f32 row norms (of the STORED values); v [1, tile]
+    i32 validity. Writes transposed [S, qb] seg-min block."""
+    metric = Metric.parse(metric_name)
+    q = q_ref[:]
+    qb = q.shape[0]
+    tile = x_ref.shape[0]
+    sub = tile // subt
+
+    def one_subtile(s):
+        x = x_ref[pl.ds(s * sub, sub), :].astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            q, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qb, sub] f32
+        ok = v_ref[:, pl.ds(s * sub, sub)] > 0  # [1, sub]
+        if metric == Metric.IP:
+            d = -dots
+        elif metric == Metric.L2SQ:
+            # qn dropped: constant per query, ordering-invariant
+            d = xn_ref[:, pl.ds(s * sub, sub)] - 2.0 * dots
+        else:  # cosine: order by -cos; zero-x rows order like cos == 0
+            xn = xn_ref[:, pl.ds(s * sub, sub)]
+            d = jnp.where(xn > 0.0, -dots * jax.lax.rsqrt(jnp.maximum(xn, 1e-30)), 0.0)
+        d = jnp.where(ok, d, _INF)
+        return jnp.min(d.reshape(qb, sub // _SEG, _SEG), axis=2)
+
+    out_ref[:] = jnp.concatenate(
+        [one_subtile(s) for s in range(subt)], axis=1
+    ).T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keep", "metric_name", "tile", "qb", "subt")
+)
+def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
+    nq, d = q.shape
+    nxp = x.shape[0]
+    S = tile // _SEG
+    grid = (nq // qb, nxp // tile)
+    segmins = pl.pallas_call(
+        functools.partial(
+            _native_segmin_kernel, metric_name=metric_name, subt=subt
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((S, qb), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((nxp // _SEG, nq), jnp.float32),
+    )(q, x, xn2, v2)
+    segmins = segmins.T  # [nq, NS]
+    sd, si = _iter_min_k(segmins, keep) if keep <= _ITER_K_MAX else (
+        lambda nt: (-nt[0], nt[1])
+    )(jax.lax.top_k(-segmins, keep))
+    return jnp.where(jnp.isfinite(sd), si, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "metric_name", "has_rerank", "k")
+)
+def _rescore_native(q, segs, x, valid, rerank_tape, m, k, metric_name,
+                    has_rerank):
+    """Phases B+C, chunked over queries so the gathered f32 candidate
+    block stays a few hundred MB at worst (keep*128 rows per query)."""
+    nq = q.shape[0]
+    keep = segs.shape[1]
+    limit = max(8, (1 << 25) // max(keep * _SEG * q.shape[1], 1))
+    cq = min(nq, 1 << (limit.bit_length() - 1))
+    if nq > cq and nq % cq == 0:
+        qs = q.reshape(nq // cq, cq, -1)
+        ss = segs.reshape(nq // cq, cq, keep)
+        bd, bi = jax.lax.map(
+            lambda ab: _rescore_native_block(
+                ab[0], ab[1], x, valid, rerank_tape, m, k, metric_name,
+                has_rerank,
+            ),
+            (qs, ss),
+        )
+        return bd.reshape(nq, k), bi.reshape(nq, k)
+    return _rescore_native_block(
+        q, segs, x, valid, rerank_tape, m, k, metric_name, has_rerank
+    )
+
+
+def _rescore_native_block(q, segs, x, valid, rerank_tape, m, k, metric_name,
+                          has_rerank):
+    metric = Metric.parse(metric_name)
+    nq, d = q.shape
+    keep = segs.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (nq, keep, _SEG), 2)
+    rows = jnp.maximum(segs, 0)[:, :, None] * _SEG + lanes
+    rows = rows.reshape(nq, keep * _SEG)
+    rows = jnp.where(jnp.repeat(segs >= 0, _SEG, axis=1), rows, -1)
+    safe = jnp.minimum(jnp.maximum(rows, 0), x.shape[0] - 1)
+    xg = jnp.take(x, safe, axis=0).astype(jnp.float32)  # [nq, C, d]
+    dots = jax.lax.dot_general(
+        xg, q, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    xn = jnp.sum(xg * xg, axis=2)
+    dd = _epilogue(dots, qn, xn, metric)
+    ok = (rows >= 0) & jnp.take(valid, safe)
+    dd = jnp.where(ok & ~jnp.isnan(dd), dd, _INF)
+    bd, bp = _iter_min_k(dd, m) if m <= _ITER_K_MAX else (
+        lambda nt: (-nt[0], nt[1])
+    )(jax.lax.top_k(-dd, m))
+    bi = jnp.take_along_axis(rows, bp, axis=1)  # [nq, m]
+    bi = jnp.where(jnp.isfinite(bd), bi, -1)
+    if not has_rerank:
+        return bd[:, :k], bi[:, :k]
+    # phase C: exact f32 rerank of the m-wide pool from the side tape
+    rv = jnp.take(rerank_tape, jnp.maximum(bi, 0), axis=0).astype(jnp.float32)
+    if metric == Metric.L2SQ:
+        # direct difference form: the dot-product identity loses digits to
+        # cancellation at byte magnitudes (see index/search.py rerank)
+        diff = q[:, None, :] - rv
+        rd = jnp.sum(diff * diff, axis=-1)
+    else:
+        rdots = jnp.einsum("bcd,bd->bc", rv, q,
+                           preferred_element_type=jnp.float32)
+        rn = jnp.sum(rv * rv, axis=-1)
+        rd = _epilogue(rdots, qn, rn, metric)
+    rd = jnp.where((bi >= 0) & ~jnp.isnan(rd), rd, _INF)
+    rd, ri = jax.lax.sort((rd, bi), dimension=1, num_keys=1, is_stable=True)
+    return rd[:, :k], jnp.where(jnp.isfinite(rd[:, :k]), ri[:, :k], -1)
+
+
+def _native_tile(nx: int, d: int, qb: int, itemsize: int) -> int:
+    """x-block rows: the double-buffered x block gets ~7 MB; live f32
+    sub-tile temporaries (~6x [qb, 512]) plus the q/out blocks take the
+    rest of the ~16 MB VMEM budget."""
+    t = (7 << 20) // (2 * d * itemsize)
+    t = max(1024, min(32768, t // 1024 * 1024))
+    return min(t, round_up(nx, 1024))
+
+
+def scan_topk(
+    q: jax.Array,
+    tape: jax.Array,
+    k: int,
+    metric,
+    valid_mask: Optional[jax.Array] = None,
+    x_norms: Optional[jax.Array] = None,
+    rerank_tape: Optional[jax.Array] = None,
+    keep: Optional[int] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """ANN-grade exact scan over a storage-dtype tape.
+
+    q [nq, d] f32 (same scaled units as the tape); tape [nx, d] int8 /
+    bf16 / f32; x_norms optional f32 [nx] squared norms of the stored
+    values (computed here if absent); rerank_tape optional f32/bf16
+    [nx, d] full-precision side tape for the final exact rerank.
+    Returns (dists [nq, k] f32 ascending, slot ids [nq, k] i32, -1 pad).
+    Distances are exact w.r.t. the rerank tape when given, else w.r.t.
+    the stored (quantized) values.
+
+    Prefer `bruteforce_topk` for the bit-exact oracle path; this is the
+    serving path (phases A/B keep >= 128*keep candidates per query, so
+    dropped true winners are measured-rare; the flagship bench reports
+    its recall).
+    """
+    from vss_tpu.utils import use_pallas
+
+    metric = Metric.parse(metric)
+    nq, d0 = q.shape
+    nx = tape.shape[0]
+    if not (use_pallas() and native_scan_supported(tape.dtype)
+            and nx > 16 * _SEG and k <= _ITER_K_MAX):
+        from vss_tpu.ops.topk import bruteforce_topk
+
+        # fallback scores the f32 side tape when one exists (exact
+        # distances, same contract as the kernel path's phase C)
+        base = rerank_tape if rerank_tape is not None else tape
+        return bruteforce_topk(q, base.astype(jnp.float32), k, metric,
+                               valid_mask=valid_mask)
+    qb = min(int(os.environ.get("VSS_SCAN_QB", "256")), round_up(nq, 8))
+    itemsize = jnp.dtype(tape.dtype).itemsize
+    d = round_up(d0, 128)
+    tile = _native_tile(nx, d, qb, itemsize)
+    # sub-tiles of <= 512 rows bound the live [qb, sub] f32 temporaries
+    subt = max(1, tile // 512)
+    xp = pad_to(pad_to(tape, 1, 128), 0, tile)
+    if valid_mask is None:
+        valid_mask = jnp.ones((nx,), jnp.bool_)
+    vp = pad_to(valid_mask, 0, tile, value=False)
+    v2 = vp.astype(jnp.int32)[None, :]
+    if x_norms is None:
+        xf = xp.astype(jnp.float32)
+        x_norms = jnp.sum(xf * xf, axis=-1)
+    xn2 = pad_to(x_norms.astype(jnp.float32), 0, tile)[None, :]
+    qp = pad_to(pad_to(q.astype(jnp.float32), 1, 128), 0, qb)
+    if keep is None:
+        # generous margin over the exact-arithmetic bound of k segments:
+        # bf16 dots + quantized norms can misrank near-tied segments
+        keep = min(max(2 * k, k + 6), xp.shape[0] // _SEG)
+    keep = min(keep, xp.shape[0] // _SEG)
+    segs = _native_segmin_scan(
+        qp.astype(jnp.bfloat16), xp, xn2, v2, keep, metric.value, tile, qb,
+        subt,
+    )
+    has_rr = rerank_tape is not None
+    if not has_rr:
+        rerank_tape = xp[:, :1]  # placeholder operand (unused)
+    else:
+        rerank_tape = pad_to(rerank_tape, 1, 128) if d != d0 else rerank_tape
+        rerank_tape = pad_to(rerank_tape, 0, tile)
+    m = min(max(2 * k, k + 6), keep * _SEG) if has_rr else k
+    outd, outi = _rescore_native(
+        qp.astype(jnp.float32), segs, xp, vp, rerank_tape, m, k,
+        metric.value, has_rr,
+    )
+    return outd[:nq], outi[:nq]
