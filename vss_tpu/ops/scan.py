@@ -117,32 +117,33 @@ def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
 @functools.partial(
     jax.jit, static_argnames=("m", "metric_name", "has_rerank", "k")
 )
-def _rescore_native(q, segs, x, valid, rerank_tape, m, k, metric_name,
-                    has_rerank):
-    """Phases B+C, chunked over queries so the gathered f32 candidate
-    block stays a few hundred MB at worst (keep*128 rows per query)."""
+def _rescore_native(q, segs, x, xn_tape, valid, rerank_tape, m, k,
+                    metric_name, has_rerank):
+    """Phases B+C, chunked over queries so the gathered candidate block
+    stays a few hundred MB at worst (keep*128 rows per query)."""
     nq = q.shape[0]
     keep = segs.shape[1]
-    limit = max(8, (1 << 25) // max(keep * _SEG * q.shape[1], 1))
+    limit = max(8, (1 << 26) // max(keep * _SEG * q.shape[1], 1))
     cq = min(nq, 1 << (limit.bit_length() - 1))
     if nq > cq and nq % cq == 0:
         qs = q.reshape(nq // cq, cq, -1)
         ss = segs.reshape(nq // cq, cq, keep)
         bd, bi = jax.lax.map(
             lambda ab: _rescore_native_block(
-                ab[0], ab[1], x, valid, rerank_tape, m, k, metric_name,
-                has_rerank,
+                ab[0], ab[1], x, xn_tape, valid, rerank_tape, m, k,
+                metric_name, has_rerank,
             ),
             (qs, ss),
         )
         return bd.reshape(nq, k), bi.reshape(nq, k)
     return _rescore_native_block(
-        q, segs, x, valid, rerank_tape, m, k, metric_name, has_rerank
+        q, segs, x, xn_tape, valid, rerank_tape, m, k, metric_name,
+        has_rerank,
     )
 
 
-def _rescore_native_block(q, segs, x, valid, rerank_tape, m, k, metric_name,
-                          has_rerank):
+def _rescore_native_block(q, segs, x, xn_tape, valid, rerank_tape, m, k,
+                          metric_name, has_rerank):
     metric = Metric.parse(metric_name)
     nq, d = q.shape
     keep = segs.shape[1]
@@ -151,14 +152,35 @@ def _rescore_native_block(q, segs, x, valid, rerank_tape, m, k, metric_name,
     rows = rows.reshape(nq, keep * _SEG)
     rows = jnp.where(jnp.repeat(segs >= 0, _SEG, axis=1), rows, -1)
     safe = jnp.minimum(jnp.maximum(rows, 0), x.shape[0] - 1)
-    xg = jnp.take(x, safe, axis=0).astype(jnp.float32)  # [nq, C, d]
-    dots = jax.lax.dot_general(
-        xg, q, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # gather whole segments as contiguous blocks (one 128-row descriptor
+    # each) instead of keep*128 individual sub-512B rows — the per-row
+    # descriptor issue rate made the row gather 10x slower (measured
+    # 24.9 ms vs 2.1 ms for the whole winnow pass at 1M x 128 int8)
+    xb = x.reshape(x.shape[0] // _SEG, _SEG * d)
+    xg = jnp.take(xb, jnp.maximum(segs, 0), axis=0)  # [nq, keep, 128*d]
+    if has_rerank:
+        # bf16 scoring: int8 values are exact in bf16 and phase C reranks
+        # the m-pool at f32, so only the q rounding (~0.4%) can perturb
+        # the m-boundary — covered by the m > k margin. The f32-HIGHEST
+        # batched matvec here was ~6x the whole winnow pass's time.
+        g = xg.reshape(nq, keep * _SEG, d).astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            g, q.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        g = xg.reshape(nq, keep * _SEG, d).astype(jnp.float32)
+        dots = jax.lax.dot_general(
+            g, q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     qn = jnp.sum(q * q, axis=1, keepdims=True)
-    xn = jnp.sum(xg * xg, axis=2)
+    # row norms ride the precomputed tape (same segment-block gather) —
+    # recomputing them from an f32 copy of the gathered block cost more
+    # HBM traffic than the gather itself
+    xnb = xn_tape.reshape(xn_tape.shape[0] // _SEG, _SEG)
+    xn = jnp.take(xnb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SEG)
     dd = _epilogue(dots, qn, xn, metric)
     ok = (rows >= 0) & jnp.take(valid, safe)
     dd = jnp.where(ok & ~jnp.isnan(dd), dd, _INF)
@@ -267,7 +289,7 @@ def scan_topk(
         rerank_tape = pad_to(rerank_tape, 0, tile)
     m = min(max(2 * k, k + 6), keep * _SEG) if has_rr else k
     outd, outi = _rescore_native(
-        qp.astype(jnp.float32), segs, xp, vp, rerank_tape, m, k,
+        qp.astype(jnp.float32), segs, xp, xn2[0], vp, rerank_tape, m, k,
         metric.value, has_rr,
     )
     return outd[:nq], outi[:nq]

@@ -112,10 +112,18 @@ class ShardedHNSWIndex:
         wave_size: int = 1024,
         efc: Optional[int] = None,
         expand: int = 4,
+        method: str = "auto",
         progress=None,
     ) -> "ShardedHNSWIndex":
-        """Distributed build: round-robin row partition, then lock-step
-        wave insertion into all shards at once."""
+        """Distributed build: round-robin row partition, then per-shard
+        construction under shard_map.
+
+        method: 'exact' — the SPMD port of the MXU bulk builder (each
+        pass one program over all shards, `parallel/sharded_build.py`);
+        'wave' — lock-step wave insertion (the round-2 path, still used
+        by insert()); 'auto' — exact on single-process meshes, wave on
+        multi-process ones (the exact path's repair tail slices per-shard
+        graphs to the host, which needs fully-addressable arrays)."""
         self = cls(config, mesh)
         S = self.n_shards
         vectors = np.asarray(vectors, np.float32)
@@ -127,6 +135,17 @@ class ShardedHNSWIndex:
             rowids = np.arange(n, dtype=np.int64)
         check_rowids_int32(rowids)
         efc = efc or config.ef_construction
+        if method == "auto":
+            single_proc = jax.process_count() == 1
+            method = "exact" if (single_proc and n >= 4 * S) else "wave"
+        if method == "exact":
+            from vss_tpu.parallel.sharded_build import build_exact_sharded
+
+            rowids = np.asarray(rowids)
+            build_exact_sharded(
+                self, vectors, rowids, seed=seed, progress=progress
+            )
+            return self
 
         # round-robin partition (balanced for any input order; the
         # hash-partition alternative only matters for adversarial rowids)

@@ -1,0 +1,319 @@
+"""Sharded exact MXU bulk build: the fast CREATE INDEX path under shard_map.
+
+Round 2's distributed build was lock-step wave insertion only — an order
+of magnitude slower per shard than the single-chip exact builder
+(`index/exact_build.py`). Here every pass of the exact builder runs as an
+SPMD program over the mesh: each shard builds an independent graph from
+its local rows (no cross-shard edges — searches merge per-shard top-k via
+all_gather, parallel/sharded.py), so the passes need no collectives at
+all; shard_map just places one instance of each compiled pass per device:
+
+  1. candidates: per-shard exact top-C kNN (`exact_build._knn_all`),
+     chunked over the query axis from the host (each chunk is ONE SPMD
+     program over all shards),
+  2. refine + backlinks: per-shard `_refine_forward` /
+     `_group_incoming_local` / `_merge_backlinks` fused into one SPMD
+     program,
+  3. upper levels: per-level member sets padded to a common bucket across
+     shards, one `_upper_level_pass` SPMD program per level,
+  4. connectivity repair: per-shard host-orchestrated
+     (`index/repair.repair_connectivity`) on device-sliced graphs — the
+     bridging decisions are data-dependent host logic; the heavy sweeps
+     inside stay on device. This tail is a few percent of build time.
+
+Level sampling, slot assignment, and shapes are decided on the host, so
+all shards share one compiled program per pass (shapes are padded to the
+max shard size). Matches the role of the reference's parallel build
+(`/root/reference/src/hnsw/hnsw_index_physical_create.cpp:235-247`), with
+devices in place of scheduler threads and shard-local graphs in place of
+the lock-striped shared one.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vss_tpu.index.exact_build import (
+    _knn_all,
+    _merge_backlinks,
+    _group_incoming_local,
+    _refine_forward,
+    _upper_level_pass,
+)
+from vss_tpu.index.graph import (
+    HNSWConfig,
+    HNSWGraph,
+    cast_to_tape,
+    empty_graph,
+    sample_levels,
+)
+from vss_tpu.index.build import plan_wave_rows
+from vss_tpu.parallel.mesh import SHARD_AXIS
+from vss_tpu.utils import cdiv, next_pow2, round_up
+
+__all__ = ["build_exact_sharded"]
+
+_INF = float("inf")
+
+
+def _smap(mesh, fn, n_in, n_out=1):
+    """shard_map a per-shard fn over stacked [S, ...] operands (the
+    x[0]/[None] pattern used by ShardedHNSWIndex._make_wave_fn)."""
+
+    def wrapped(*args):
+        local = [jax.tree.map(lambda x: x[0], a) for a in args]
+        out = fn(*local)
+        if n_out == 1:
+            return jax.tree.map(lambda x: x[None], out)
+        return tuple(jax.tree.map(lambda x: x[None], o) for o in out)
+
+    return jax.jit(
+        jax.shard_map(
+            wrapped,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS),) * n_in,
+            out_specs=(
+                P(SHARD_AXIS) if n_out == 1 else (P(SHARD_AXIS),) * n_out
+            ),
+            check_vma=False,
+        )
+    )
+
+
+def _base_links(adj0, tape_f32, cand_d, cand_i, slots_p, n, config,
+                refine_chunk, backlink_chunk):
+    """Per-shard base layer: refine-select forward edges, then merge
+    reverse edges under the degree cap (one program; see
+    exact_build.build_graph_exact for the algorithm)."""
+    adj0 = _refine_forward(
+        adj0, tape_f32, cand_d, cand_i, slots_p, config, config.m0,
+        refine_chunk,
+    )
+    slots = jnp.arange(n, dtype=jnp.int32)
+    forward0 = jnp.take(adj0, slots, axis=0)
+    incoming = _group_incoming_local(slots, forward0)
+    A_pad = slots_p.shape[0]
+    pad = A_pad - n
+    sink = adj0.shape[0] - 1
+    return _merge_backlinks(
+        adj0,
+        jnp.pad(slots, (0, pad), constant_values=-1),
+        tape_f32,
+        jnp.pad(incoming, ((0, pad), (0, 0)), constant_values=-1),
+        jnp.pad(slots, (0, pad), constant_values=sink),
+        config,
+        config.m0,
+        refine_chunk,
+    )
+
+
+def build_exact_sharded(
+    index,  # ShardedHNSWIndex (host bookkeeping filled here)
+    vectors: np.ndarray,  # [n, d] f32, already in scaled units
+    rowids: np.ndarray,
+    *,
+    seed: int = 0,
+    block: int = 2048,
+    tile: int = 65536,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> None:
+    """Build `index.graphs` (stacked per-shard graphs) from a round-robin
+    row partition via the exact MXU pipeline. Single-process meshes only
+    (repair slices per-shard graphs to host); multi-process builds use
+    the wave path."""
+    from vss_tpu.utils import use_pallas
+
+    mesh = index.mesh
+    S = index.n_shards
+    config: HNSWConfig = index.config
+    n, d = vectors.shape
+    parts = [np.arange(s, n, S) for s in range(S)]
+    n_s = [len(p) for p in parts]
+    Pmax = max(n_s) if n else 1
+    cap = Pmax + 8
+    sink = cap - 1
+
+    # per-shard level samples + upper-row plans (host; shapes common)
+    levels_np = np.zeros((S, cap), np.int32)
+    urows_np = np.full((S, cap, config.max_levels), -1, np.int32)
+    next_rows = [0] * S
+    for s in range(S):
+        lv = sample_levels(n_s[s], config, seed + s)
+        levels_np[s, : n_s[s]] = lv
+        ur, next_rows[s] = plan_wave_rows(
+            levels_np[s], 0, config.max_levels
+        )
+        urows_np[s] = ur
+    upper_cap = max(next_rows) + 64 + 1
+
+    # stacked graph arrays (host), then placed on the mesh
+    vec_np = np.zeros((S, cap, d), np.float32)
+    rid_np = np.full((S, cap), -1, np.int32)
+    valid_np = np.zeros((S, cap), bool)
+    entry_np = np.full((S,), -1, np.int32)
+    maxlv_np = np.zeros((S,), np.int32)
+    for s in range(S):
+        vec_np[s, : n_s[s]] = vectors[parts[s]]
+        rid_np[s, : n_s[s]] = rowids[parts[s]].astype(np.int32)
+        valid_np[s, : n_s[s]] = True
+        if n_s[s]:
+            entry_np[s] = int(np.argmax(levels_np[s, : n_s[s]]))
+            maxlv_np[s] = int(levels_np[s, : n_s[s]].max())
+
+    put = index._put
+    vec_f32 = put(vec_np)
+    tape = cast_to_tape(vec_f32, config)
+    g0 = empty_graph(config, cap, upper_cap)
+    stacked = HNSWGraph(
+        vectors=tape,
+        adj0=put(np.full((S, cap, config.m0), -1, np.int32)),
+        upper_adj=put(np.full((S, upper_cap, config.m), -1, np.int32)),
+        upper_row=put(urows_np),
+        levels=put(levels_np),
+        valid=put(valid_np),
+        slot_to_rowid=put(rid_np),
+        entry=put(entry_np),
+        max_level=put(maxlv_np),
+        count=put(np.asarray(n_s, np.int32)),
+    )
+    del g0
+
+    total_units = 2 * n
+    done = [0]
+
+    def prog(u):
+        done[0] = min(u, total_units)
+        if progress is not None:
+            progress(done[0], total_units)
+
+    # ---- candidate pass: chunked SPMD exact kNN over each shard's rows
+    C0 = max(2 * config.m0, config.m0 + 8)
+    C0 = min(C0, max(Pmax - 1, 1))
+    tile_s = min(tile, round_up(Pmax, 512))
+    block_s = min(block, round_up(Pmax, 256))
+    n_pad = round_up(Pmax, tile_s)
+    nq_pad = round_up(Pmax, block_s)
+    x_np = vec_np[:, :n_pad] if n_pad <= cap else np.concatenate(
+        [vec_np, np.zeros((S, n_pad - cap, d), np.float32)], axis=1
+    )
+    x_stack = put(x_np.astype(np.float32))
+    xv_np = np.zeros((S, n_pad), bool)
+    for s in range(S):
+        xv_np[s, : n_s[s]] = True
+    xv_stack = put(xv_np)
+    ids_np = np.full((S, nq_pad), -2, np.int32)
+    for s in range(S):
+        ids_np[s, : n_s[s]] = np.arange(n_s[s], dtype=np.int32)
+    approx = use_pallas() and C0 <= tile_s // 8
+    dist_bf16 = use_pallas()
+
+    knn_fn = _smap(
+        mesh,
+        lambda q, i, x, v: _knn_all(
+            q, i, x, v, C0, config.metric, tile_s, block_s, approx, True,
+            dist_bf16,
+        ),
+        4,
+        n_out=2,
+    )
+    eager_chunk = max(block_s, min(8 * block_s, nq_pad))
+    parts_d, parts_i = [], []
+    for s0 in range(0, nq_pad, eager_chunk):
+        e = min(s0 + eager_chunk, nq_pad)
+        w = eager_chunk
+        qc = np.zeros((S, w, d), np.float32)
+        ic = np.full((S, w), -2, np.int32)
+        qc[:, : e - s0] = x_np[:, s0:e]
+        ic[:, : e - s0] = ids_np[:, s0:e]
+        od, oi = knn_fn(put(qc), put(ic), x_stack, xv_stack)
+        parts_d.append(od[:, : e - s0])
+        parts_i.append(oi[:, : e - s0])
+        prog(min(e, Pmax) * S // 2)
+    cand_d = jnp.concatenate(parts_d, axis=1)[:, :Pmax]
+    cand_i = jnp.concatenate(parts_i, axis=1)[:, :Pmax]
+    prog(n)
+
+    # ---- base layer refine + backlinks (one SPMD program)
+    refine_chunk = min(4096, round_up(Pmax, 256))
+    A_pad = round_up(Pmax, refine_chunk)
+    pad = A_pad - Pmax
+    cand_d_p = jnp.pad(cand_d, ((0, 0), (0, pad), (0, 0)), constant_values=_INF)
+    cand_i_p = jnp.pad(cand_i, ((0, 0), (0, pad), (0, 0)), constant_values=-1)
+    slots_np = np.tile(np.arange(A_pad, dtype=np.int32), (S, 1))
+    for s in range(S):
+        slots_np[s, n_s[s]:] = sink
+    tape_f32 = stacked.vectors.astype(jnp.float32)
+    base_fn = _smap(
+        mesh,
+        lambda adj0, tf, cd, ci, sl: _base_links(
+            adj0, tf, cd, ci, sl, Pmax, config, refine_chunk, refine_chunk
+        ),
+        5,
+    )
+    adj0 = base_fn(stacked.adj0, tape_f32, cand_d_p, cand_i_p, put(slots_np))
+    stacked = dataclasses.replace(stacked, adj0=adj0)
+    prog(int(1.5 * n))
+
+    # ---- upper levels: one SPMD program per level, common bucket
+    max_lv = int(maxlv_np.max()) if S else 0
+    upper_adj = stacked.upper_adj
+    for lev in range(1, max_lv + 1):
+        members = [np.where(levels_np[s, : n_s[s]] >= lev)[0] for s in range(S)]
+        A = max((m.size for m in members), default=0)
+        if A <= 1:
+            break
+        A_pad_l = next_pow2(max(A, 256))
+        mem_np = np.full((S, A_pad_l), sink, np.int32)
+        rows_np = np.full((S, A_pad_l), -1, np.int32)
+        nv_np = np.zeros((S,), np.int32)
+        for s in range(S):
+            m = members[s]
+            mem_np[s, : m.size] = m
+            rows_np[s, : m.size] = urows_np[s][m, lev - 1]
+            nv_np[s] = m.size
+        C_u = 2 * config.m
+        lvl_fn = _smap(
+            mesh,
+            functools.partial(
+                _upper_level_pass, config=config, C=C_u,
+                tile=min(tile, A_pad_l), block=min(block, A_pad_l),
+                approx=use_pallas() and C_u <= A_pad_l // 8,
+                dist_bf16=use_pallas(),
+                chunk=min(4096, A_pad_l),
+            ),
+            5,
+        )
+        upper_adj = lvl_fn(
+            tape_f32, put(mem_np), put(nv_np), put(rows_np), upper_adj
+        )
+    stacked = dataclasses.replace(stacked, upper_adj=upper_adj)
+
+    # ---- per-shard connectivity repair (host-orchestrated tail)
+    from vss_tpu.index.repair import repair_connectivity
+
+    host = jax.tree.map(np.asarray, stacked)
+    repaired = []
+    for s in range(S):
+        g_s = jax.tree.map(lambda x: jnp.asarray(x[s]), host)
+        g_s, _ = repair_connectivity(g_s, config)
+        repaired.append(g_s)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *repaired)
+    index.graphs = index._place(stacked)
+    prog(total_units)
+
+    # host bookkeeping (mirrors ShardedHNSWIndex.build's wave path)
+    index.count = n
+    index.dirty = True
+    index.next_slot = list(n_s)
+    index.upper_used = list(next_rows)
+    for s, part in enumerate(parts):
+        for slot, row in enumerate(part):
+            index.rowid_to_loc[int(rowids[row])] = (s, slot)
+    index._insert_seed = n
+    index._insert_counter = n
