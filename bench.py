@@ -360,36 +360,59 @@ def main():
     def q_scaled(qs):
         return qs / scale if STORAGE == "int8" else qs
 
-    # NB: r_tape is a jit ARGUMENT — a closure-captured device array is
-    # embedded as an HLO constant, and the 512 MB side tape blew the
-    # remote-compile tunnel's request-body limit (HTTP 413)
-    @partial(jax.jit, static_argnames=("iters", "ef"))
-    def search_loop(graph, q_stack, allow, rt, iters: int, ef: int):
+    # group-fetch tape (round-3 descriptor-ceiling lever): A/B'd against
+    # the chosen operating point below, adopted when it wins
+    g_tab, g_grp = idx.grouped_tape()
+    if os.environ.get("VSS_BENCH_GROUP", "1") != "1":
+        g_tab = None
+
+    def _impl(g_, al_, qb_, ef, grp, rt, gtab):
+        # g_/al_/rt/gtab are threaded through jit ARGUMENTS by callers —
+        # closure-capturing them would embed hundreds of MB as HLO
+        # constants and blow the remote-compile tunnel (HTTP 413)
+        if grp:
+            return _hnsw_search_impl(
+                g_, config, qb_, al_, K, ef, ESEARCH, 0, False, True,
+                False, p_slots, p_vecs, N_SEEDS, x_norms, None, 1, rt,
+                gtab, g_grp,
+            )
+        return _hnsw_search_impl(
+            g_, config, qb_, al_, K, ef, ESEARCH, 0, False, True,
+            fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack, rt,
+        )
+
+    # NB: r_tape/g_tab are jit ARGUMENTS — a closure-captured device
+    # array is embedded as an HLO constant, and the 512 MB side tape blew
+    # the remote-compile tunnel's request-body limit (HTTP 413)
+    @partial(jax.jit, static_argnames=("iters", "ef", "grp"))
+    def search_loop(graph, q_stack, allow, rt, gtab, iters: int, ef: int,
+                    grp: bool = False):
         def body(i, carry):
             acc, delta = carry
             q = q_scaled(q_stack[i % nb]) + delta
-            d, sl, it, ev = _hnsw_search_impl(
-                graph, config, q, allow, K, ef, ESEARCH, 0, False, True,
-                fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack,
-                rt,
-            )
+            d, sl, it, ev = _impl(graph, allow, q, ef, grp, rt, gtab)
             s = d[0, 0]
             return acc + s, delta + s * 1e-30
 
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
         return acc
 
-    def run_at(ef):
+    points = {}  # ef -> (qps, recall, per_batch, evals, iters) [non-group]
+
+    def run_at(ef, grp=False):
         per = _slope(
-            lambda it: search_loop(graph, q_stack, allow, r_tape, it, ef), 2, 8
+            lambda it: search_loop(
+                graph, q_stack, allow, r_tape, g_tab if grp else None,
+                it, ef, grp,
+            ),
+            2, 8,
         )
         qps = QBATCH / per
         rowss, evals_tot, iters_max = [], 0, 0
         for i in range(nb):
-            d, sl, iters, evals = _hnsw_search_impl(
-                graph, config, q_scaled(q_stack[i]), allow, K, ef, ESEARCH,
-                0, False, True, fused, p_slots, p_vecs, N_SEEDS, x_norms,
-                p_tab, p_pack, r_tape,
+            d, sl, iters, evals = _impl(
+                graph, allow, q_scaled(q_stack[i]), ef, grp, r_tape,
+                g_tab if grp else None,
             )
             rowss.append(np.asarray(
                 jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
@@ -401,7 +424,10 @@ def main():
             len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
             for a, b in zip(got, gt)
         )
-        return qps, hits / (NQ * K), per, evals_tot / nb, iters_max
+        res = (qps, hits / (NQ * K), per, evals_tot / nb, iters_max)
+        if not grp:
+            points[ef] = res
+        return res
 
     RECALL_TARGET = float(os.environ.get("VSS_BENCH_RECALL_TARGET", 0.90))
     ef_used = max(EF, K)
@@ -431,8 +457,134 @@ def main():
                 ef_try, q2, r2, p2, e2, i2
             )
 
+    gather_mode = "fused" if fused else "xla-take"
+    # ---- group-fetch A/B at the chosen operating point: one DMA
+    # descriptor moves 4 transpose-packed int8 rows (>=512 B), breaking
+    # the one-descriptor-per-row issue-rate ceiling; the 3 slot-adjacent
+    # extras are real scored candidates that widen the pool
+    if g_tab is not None and not on_cpu:
+        try:
+            gq, gr, gper, gev, git = run_at(ef_used, grp=True)
+            log(f"[bench] group-fetch ef={ef_used}: {gq:.0f} qps "
+                f"recall@{K}={gr:.4f} ({git} iters, {gev:.0f} evals/batch)")
+            ef_grp = ef_used
+            # the wider pool often lets a smaller ef hit the bar
+            if gr >= RECALL_TARGET:
+                for ef_try in (ef_used // 2, ef_used * 3 // 4):
+                    if ef_try < K or ef_try >= ef_used:
+                        continue
+                    q3, r3, p3, e3, i3 = run_at(ef_try, grp=True)
+                    log(f"[bench] group-fetch ef={ef_try}: {q3:.0f} qps "
+                        f"recall@{K}={r3:.4f}")
+                    if r3 >= RECALL_TARGET and q3 > gq:
+                        gq, gr, gper, gev, git, ef_grp = (
+                            q3, r3, p3, e3, i3, ef_try
+                        )
+                        break
+            if gr >= RECALL_TARGET and gq > qps:
+                qps, rec, per_b, evals_b, iters_b = gq, gr, gper, gev, git
+                ef_used = ef_grp
+                gather_mode = "group-fetch"
+        except Exception as e:  # degrade to the plain path, keep the run
+            log(f"[bench] group-fetch A/B failed: {e}")
+
+    # ---- dual operating point: cheapest ef with recall >= 0.95
+    HI_TARGET = float(os.environ.get("VSS_BENCH_HI_TARGET", 0.95))
+    hi_point = None
+    if os.environ.get("VSS_BENCH_HI_POINT", "1") == "1":
+        for ef_try in (64, 96, 128, 192):
+            ok_pts = {e: p for e, p in points.items() if p[1] >= HI_TARGET}
+            if ok_pts:
+                break
+            if ef_try <= max(points):
+                continue
+            q4, r4, *_ = run_at(ef_try)
+            log(f"[bench] hi-point ef={ef_try}: {q4:.0f} qps "
+                f"recall@{K}={r4:.4f}")
+        ok_pts = {e: p for e, p in points.items() if p[1] >= HI_TARGET}
+        if ok_pts:
+            e95 = min(ok_pts)
+            hi_point = {"ef": e95, "qps": round(ok_pts[e95][0], 1),
+                        "recall": round(ok_pts[e95][1], 4)}
+
     row_bytes = D * {"f32": 4, "bf16": 2, "int8": 1}[STORAGE]
     gather_gb_s = evals_b * row_bytes / per_b / 1e9
+
+    # ---- storage-native exact scan as a serving path (ops/scan.py):
+    # one pass over the int8/bf16 tape at DEFAULT precision + segment
+    # rescore + exact f32 rerank. Exact w.r.t. the rerank tape, so its
+    # recall bounds the graph path's from above.
+    scan_block = None
+    if not on_cpu and os.environ.get("VSS_BENCH_SCANSERVE", "1") == "1":
+        from vss_tpu.ops.scan import native_scan_supported, scan_topk
+
+        if native_scan_supported(graph.vectors.dtype):
+            vmask = graph.valid
+
+            @partial(jax.jit, static_argnames=("iters",))
+            def scan_serve_loop(q_stack, tape, xn_t, vmask, rt, iters: int):
+                def body(i, carry):
+                    acc, delta = carry
+                    d, _ = scan_topk(
+                        q_scaled(q_stack[i % nb]) + delta, tape, K, METRIC,
+                        valid_mask=vmask, x_norms=xn_t, rerank_tape=rt,
+                    )
+                    s = d[0, 0]
+                    return acc + s, delta + s * 1e-30
+
+                acc, _ = jax.lax.fori_loop(
+                    0, iters, body, (jnp.float32(0), jnp.float32(0))
+                )
+                return acc
+
+            try:
+                per_s = _slope(
+                    lambda it: scan_serve_loop(
+                        q_stack, graph.vectors, x_norms, vmask, r_tape, it
+                    ),
+                    2, 8,
+                )
+                srows = []
+                for i in range(nb):
+                    _, sl = scan_topk(
+                        q_scaled(q_stack[i]), graph.vectors, K, METRIC,
+                        valid_mask=vmask, x_norms=x_norms, rerank_tape=r_tape,
+                    )
+                    srows.append(np.asarray(jnp.where(
+                        sl >= 0,
+                        jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)),
+                        -1,
+                    )))
+                sgot = np.concatenate(srows)
+                shits = sum(
+                    len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                    for a, b in zip(sgot, gt)
+                )
+                s_rec = shits / (NQ * K)
+                s_qps = QBATCH / per_s
+                scan_block = {
+                    "qps": round(s_qps, 1),
+                    "recall": round(s_rec, 4),
+                    "ms_per_batch": round(per_s * 1e3, 2),
+                    "tape_stream_gb_s": round(N * row_bytes / per_s / 1e9, 1),
+                }
+                log(f"[bench] scan-serve: {s_qps:.0f} qps "
+                    f"recall@{K}={s_rec:.4f} ({per_s*1e3:.1f} ms/batch)")
+            except Exception as e:  # pragma: no cover - chip-side only
+                log(f"[bench] scan-serve failed: {e}")
+                scan_block = {"error": str(e)[:200]}
+
+    # the engine serves whichever physical operator is fastest at the
+    # recall bar (the cost-based planner's job, query/cost.py); report
+    # the winner as the headline and both paths in full
+    serving_path = "graph"
+    head_qps, head_rec, head_ef = qps, rec, ef_used
+    if (scan_block and "qps" in scan_block
+            and scan_block["recall"] >= RECALL_TARGET
+            and scan_block["qps"] > head_qps):
+        serving_path = "scan"
+        head_qps, head_rec = scan_block["qps"], scan_block["recall"]
+        head_ef = None
 
     extra = {}
     if DEL_FRAC > 0:
@@ -463,12 +615,19 @@ def main():
             f"synthetic_{'iid' if DIST == 'iid' else 'sift'}"
             f"_n{N}_d{D}_{METRIC}_qps_per_chip"
         ),
-        "value": round(qps, 1),
+        "value": round(head_qps, 1),
         "unit": "qps",
-        "vs_baseline": round(qps / 10_000.0, 4),
-        "recall_at_k": round(rec, 4),
+        "vs_baseline": round(head_qps / 10_000.0, 4),
+        "recall_at_k": round(head_rec, 4),
         "k": K,
-        "ef_search": ef_used,
+        "ef_search": head_ef,
+        "serving_path": serving_path,
+        "graph_qps": round(qps, 1),
+        "graph_recall": round(rec, 4),
+        "graph_ef": ef_used,
+        "gather_mode": gather_mode,
+        "qps_at_recall_0_95": hi_point,
+        "scan_serve": scan_block,
         "fused_gather": bool(fused),
         "build_rows_per_s": round(build_rows_per_s, 1),
         "build_seconds": round(build_s, 1),
@@ -495,6 +654,211 @@ def main():
         },
         **extra,
     }
+
+    def run_arm(name, a_vecs, a_queries, a_metric, ef0):
+        """One full config: GT -> build -> ef ladder -> scan A/B.
+        Same slope-timed in-graph methodology as the flagship."""
+        from vss_tpu.index import HNSWConfig
+        from vss_tpu.index.dense import HNSWIndex as _HI
+        from vss_tpu.ops.scan import native_scan_supported, scan_topk
+
+        an, ad = a_vecs.shape
+        a_qb = min(QBATCH, a_queries.shape[0])
+        anq = a_queries.shape[0] // a_qb * a_qb
+        anb = anq // a_qb
+        aq = jnp.asarray(a_queries[:anq].reshape(anb, a_qb, ad))
+        log(f"[bench:{name}] N={an} D={ad} metric={a_metric}: ground truth...")
+        xs = jnp.asarray(a_vecs)
+        a_gt = np.concatenate(
+            [np.asarray(bruteforce_topk(aq[i], xs, K, a_metric)[1])
+             for i in range(anb)]
+        )
+        del xs
+
+        acfg = HNSWConfig(dims=ad, metric=a_metric, ef_search=ef0,
+                          storage_dtype=STORAGE, rerank=RERANK)
+        t0a = time.perf_counter()
+
+        def _prog(done, n):
+            if done <= WAVE or done % (WAVE * 64) < WAVE or done >= n:
+                log(f"[bench:{name}] build {done}/{n} "
+                    f"({time.perf_counter() - t0a:.0f}s)")
+
+        aidx = _HI.build(a_vecs, acfg, wave_size=WAVE, expand=EXPAND,
+                         method=BUILD, progress=_prog)
+        _ = float(np.asarray(aidx.graph.count))
+        a_build_s = time.perf_counter() - t0a
+        log(f"[bench:{name}] build {a_build_s:.1f}s ({an/a_build_s:.0f} rows/s"
+            " incl. per-shape JIT)")
+
+        ag, ac = aidx.graph, aidx.config
+        a_allow = ag.valid
+        a_fused = _default_fused(ag)
+        a_scale = aidx.vector_scale
+        aps, apv = aidx.pivots() if N_SEEDS > 0 else (None, None)
+        axn = aidx.norms()
+        apt, app = aidx.packed_tape()
+        art = aidx.rerank_tape
+        if a_fused and ag.vectors.dtype != jnp.float32 and apt is None:
+            a_fused = False
+
+        def asc(qs):
+            return qs / a_scale if STORAGE == "int8" else qs
+
+        @partial(jax.jit, static_argnames=("iters", "ef"))
+        def a_loop(g_, q_, al_, rt_, iters: int, ef: int):
+            def body(i, carry):
+                acc, delta = carry
+                d, _sl, _it, _ev = _hnsw_search_impl(
+                    g_, ac, asc(q_[i % anb]) + delta, al_, K, ef, ESEARCH,
+                    0, False, True, a_fused, aps, apv, N_SEEDS, axn, apt,
+                    app, rt_,
+                )
+                s = d[0, 0]
+                return acc + s, delta + s * 1e-30
+
+            return jax.lax.fori_loop(
+                0, iters, body, (jnp.float32(0), jnp.float32(0))
+            )[0]
+
+        def a_recall(rows_fn):
+            got = np.concatenate([rows_fn(i) for i in range(anb)])
+            hits = sum(
+                len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                for a, b in zip(got, a_gt)
+            )
+            return hits / (anq * K)
+
+        def a_run(ef):
+            per = _slope(lambda it: a_loop(ag, aq, a_allow, art, it, ef), 2, 8)
+
+            def rows(i):
+                _d, sl, _i2, _e2 = _hnsw_search_impl(
+                    ag, ac, asc(aq[i]), a_allow, K, ef, ESEARCH, 0, False,
+                    True, a_fused, aps, apv, N_SEEDS, axn, apt, app, art,
+                )
+                return np.asarray(jnp.where(
+                    sl >= 0,
+                    jnp.take(ag.slot_to_rowid, jnp.maximum(sl, 0)), -1,
+                ))
+
+            return a_qb / per, a_recall(rows)
+
+        a_ef = ef0
+        a_qps, a_rec = a_run(a_ef)
+        log(f"[bench:{name}] ef={a_ef}: {a_qps:.0f} qps recall@{K}={a_rec:.4f}")
+        for ef_try in (128, 192):
+            if a_rec >= RECALL_TARGET or ef_try <= a_ef:
+                break
+            a_ef = ef_try
+            a_qps, a_rec = a_run(a_ef)
+            log(f"[bench:{name}] ef={a_ef}: {a_qps:.0f} qps "
+                f"recall@{K}={a_rec:.4f}")
+
+        block = {
+            "n": an, "d": ad, "metric": a_metric, "k": K,
+            "graph_qps": round(a_qps, 1), "graph_recall": round(a_rec, 4),
+            "graph_ef": a_ef,
+            "build_rows_per_s": round(an / a_build_s, 1),
+            "build_seconds": round(a_build_s, 1),
+            "storage": STORAGE,
+        }
+
+        if native_scan_supported(ag.vectors.dtype):
+            try:
+                @partial(jax.jit, static_argnames=("iters",))
+                def a_scan_loop(q_, tape_, xn_, vm_, rt_, iters: int):
+                    def body(i, carry):
+                        acc, delta = carry
+                        d, _ = scan_topk(
+                            asc(q_[i % anb]) + delta, tape_, K, a_metric,
+                            valid_mask=vm_, x_norms=xn_, rerank_tape=rt_,
+                        )
+                        s = d[0, 0]
+                        return acc + s, delta + s * 1e-30
+
+                    return jax.lax.fori_loop(
+                        0, iters, body, (jnp.float32(0), jnp.float32(0))
+                    )[0]
+
+                per_s = _slope(
+                    lambda it: a_scan_loop(
+                        aq, ag.vectors, axn, a_allow, art, it
+                    ), 2, 8,
+                )
+
+                def srows(i):
+                    _, sl = scan_topk(
+                        asc(aq[i]), ag.vectors, K, a_metric,
+                        valid_mask=a_allow, x_norms=axn, rerank_tape=art,
+                    )
+                    return np.asarray(jnp.where(
+                        sl >= 0,
+                        jnp.take(ag.slot_to_rowid, jnp.maximum(sl, 0)), -1,
+                    ))
+
+                s_rec = a_recall(srows)
+                s_qps = a_qb / per_s
+                log(f"[bench:{name}] scan-serve: {s_qps:.0f} qps "
+                    f"recall@{K}={s_rec:.4f}")
+                block["scan_serve"] = {
+                    "qps": round(s_qps, 1), "recall": round(s_rec, 4),
+                    "tape_stream_gb_s": round(
+                        an * ad * jnp.dtype(ag.vectors.dtype).itemsize
+                        / per_s / 1e9, 1,
+                    ),
+                }
+            except Exception as e:
+                log(f"[bench:{name}] scan-serve failed: {e}")
+                block["scan_serve"] = {"error": str(e)[:200]}
+
+        best = ("graph", a_qps, a_rec)
+        sb = block.get("scan_serve") or {}
+        if sb.get("recall", 0) >= RECALL_TARGET and sb.get("qps", 0) > a_qps:
+            best = ("scan", sb["qps"], sb["recall"])
+        block["serving_path"], block["qps"], block["recall"] = (
+            best[0], round(best[1], 1), round(best[2], 4)
+        )
+        del aidx
+        return block
+
+    # ---- additional recorded configs (BASELINE.md table): GIST-analog
+    # 960-d cosine and the adversarial iid distribution. Each arm runs
+    # end-to-end (GT -> build -> ladder -> scan A/B) in this process and
+    # lands as a sub-object of the single JSON line; a wedged arm records
+    # its error instead of killing the artifact.
+    del idx, graph, r_tape, p_tab, g_tab, x_norms, p_slots, p_vecs, allow
+    if not on_cpu and os.environ.get("VSS_BENCH_IID", "1") == "1":
+        try:
+            rng_i = np.random.default_rng(7)
+            iid_v = rng_i.standard_normal((N, D)).astype(np.float32) * 50.0
+            iid_q = rng_i.standard_normal((2 * QBATCH, D)).astype(np.float32) * 50.0
+            out["iid"] = run_arm("iid", iid_v, iid_q, METRIC, EF)
+            del iid_v, iid_q
+        except Exception as e:
+            log(f"[bench:iid] arm failed: {e}")
+            out["iid"] = {"error": str(e)[:300]}
+    if not on_cpu and os.environ.get("VSS_BENCH_GIST", "1") == "1":
+        try:
+            GN = int(os.environ.get("VSS_BENCH_GIST_N", 500_000))
+            GD = 960
+            jax.clear_caches()
+            rng_g = np.random.default_rng(3)
+            n_cent = max(64, GN // 2000)
+            g_cent = rng_g.uniform(0, 1, (n_cent, GD))
+            gi = rng_g.integers(0, n_cent, GN)
+            gist_v = np.abs(
+                g_cent[gi] + rng_g.normal(0, 0.12, (GN, GD))
+            ).astype(np.float32)
+            gq_i = rng_g.integers(0, n_cent, 2 * QBATCH)
+            gist_q = np.abs(
+                g_cent[gq_i] + rng_g.normal(0, 0.12, (2 * QBATCH, GD))
+            ).astype(np.float32)
+            out["gist_960d"] = run_arm("gist", gist_v, gist_q, "cosine", EF)
+        except Exception as e:
+            log(f"[bench:gist] arm failed: {e}")
+            out["gist_960d"] = {"error": str(e)[:300]}
+
     print(json.dumps(out))
 
 

@@ -39,3 +39,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_per_module():
+    """Cap compiled-program/workspace accumulation: the full suite holds
+    hundreds of XLA executables by its last third, and the host compiler
+    was observed SIGABRTing there (while every module passes in
+    isolation). Dropping caches at module boundaries keeps the process
+    footprint flat at the cost of a few re-compiles."""
+    yield
+    import jax
+
+    jax.clear_caches()

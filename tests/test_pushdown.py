@@ -67,6 +67,46 @@ def test_pushed_filter_mask_vectorized(db):
     assert all(i >= 250 for i in r["id"])
 
 
+def test_pushed_filter_mask_is_cached_device_resident(db, monkeypatch):
+    """Repeat filtered queries must NOT redo the host pass (predicate
+    eval + isin over the slot tape): the device mask is cached per
+    (predicate, table version, graph version) and only invalidated by
+    DML. Mirrors index_dense.hpp:1816-1828 applying the predicate inside
+    the search with zero per-query host work."""
+    import vss_tpu.query.exec as ex
+
+    db.sql("CREATE INDEX i ON t USING HNSW (vec)")
+    db.set_setting("hnsw_pushdown_filters", True)
+    q = (
+        "SELECT id FROM t WHERE id >= 250 "
+        "ORDER BY array_distance(vec, [0.0,0.0,0.0,0.0]) LIMIT 5"
+    )
+    calls = {"n": 0}
+    real_isin = ex.np.isin
+
+    def counting_isin(*a, **kw):
+        calls["n"] += 1
+        return real_isin(*a, **kw)
+
+    monkeypatch.setattr(ex.np, "isin", counting_isin)
+    r1 = db.sql(q)
+    assert calls["n"] == 1
+    r2 = db.sql(q)
+    r3 = db.sql(q)
+    assert calls["n"] == 1, "repeat filtered search redid the host pass"
+    assert r1["id"].tolist() == r2["id"].tolist() == r3["id"].tolist()
+    # a different predicate builds (and caches) its own mask
+    q2 = q.replace("id >= 250", "id >= 100")
+    db.sql(q2)
+    db.sql(q2)
+    assert calls["n"] == 2
+    # DML invalidates: the next filtered search rebuilds the mask once
+    db.sql("INSERT INTO t VALUES (999, 'x', [0.0,0.0,0.0,0.0], 0.0)")
+    r4 = db.sql(q)
+    assert calls["n"] == 3
+    assert all(i >= 250 for i in r4["id"])
+
+
 def test_macro_score_follows_reference_semantics(rng):
     """vss_join/vss_match score: euclidean ascending for l2sq (min_by),
     similarity descending for cosine/ip (max_by) — the reference macros'

@@ -420,7 +420,9 @@ def _group_dist_kernel(
         g, qv, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    ok = jnp.concatenate([gids_v_ref[:] >= 0] * group, axis=1)
+    # concatenate the i32 ids, THEN compare: concatenating i1 vectors
+    # makes Mosaic emit an invalid vreg bitcast (i1 -> i32) on chip
+    ok = jnp.concatenate([gids_v_ref[:]] * group, axis=1) >= 0
     if metric == Metric.IP:
         d = 1.0 - dots
     else:

@@ -151,7 +151,6 @@ def _rescore_native_block(q, segs, x, xn_tape, valid, rerank_tape, m, k,
     rows = jnp.maximum(segs, 0)[:, :, None] * _SEG + lanes
     rows = rows.reshape(nq, keep * _SEG)
     rows = jnp.where(jnp.repeat(segs >= 0, _SEG, axis=1), rows, -1)
-    safe = jnp.minimum(jnp.maximum(rows, 0), x.shape[0] - 1)
     # gather whole segments as contiguous blocks (one 128-row descriptor
     # each) instead of keep*128 individual sub-512B rows — the per-row
     # descriptor issue rate made the row gather 10x slower (measured
@@ -182,7 +181,12 @@ def _rescore_native_block(q, segs, x, xn_tape, valid, rerank_tape, m, k,
     xnb = xn_tape.reshape(xn_tape.shape[0] // _SEG, _SEG)
     xn = jnp.take(xnb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SEG)
     dd = _epilogue(dots, qn, xn, metric)
-    ok = (rows >= 0) & jnp.take(valid, safe)
+    # validity rides the same segment-block gather as the norms: an
+    # element gather (take(valid, safe) — keep*128 scattered 1-byte
+    # loads per query) dominated this phase at 1M x 128 int8
+    vb = valid.reshape(valid.shape[0] // _SEG, _SEG)
+    okg = jnp.take(vb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SEG)
+    ok = (rows >= 0) & okg
     dd = jnp.where(ok & ~jnp.isnan(dd), dd, _INF)
     bd, bp = _iter_min_k(dd, m) if m <= _ITER_K_MAX else (
         lambda nt: (-nt[0], nt[1])

@@ -356,16 +356,38 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         q = np.asarray(node.query, np.float32)[None, :]
         filter_mask = None
         if node.pushed_filter is not None:
-            # evaluate the predicate over just its referenced columns, then
-            # lift allowed rowids to a slot mask with one vectorized isin
-            # (sort-based, not a per-slot Python hash probe)
-            cols = _expr_columns(node.pushed_filter)
-            chunk = t.chunk(columns=[c for c in cols if c in t.columns])
-            ok = np.asarray(node.pushed_filter.evaluate(chunk), bool)
-            allowed = chunk["__rowid__"][ok]
-            # works for both layouts: [cap] single-shard, [S, cap] sharded
-            srow = entry.index.slot_rowid_array()
-            filter_mask = jnp.asarray(np.isin(srow, allowed))
+            # device-resident filter mask, cached per (predicate, table
+            # version, graph version): only the FIRST use of a predicate
+            # pays the host pass (predicate eval + isin over the slot
+            # tape); repeat queries reuse the device mask. The cache
+            # invalidates with the table's _device_cache on any table DML
+            # (`Table._bump`), and the graph-identity check catches
+            # index-side changes (insert/delete/compact publish a fresh
+            # pytree). Ref applies the predicate inside the search
+            # (index_dense.hpp:1816-1828); here it is a pure device mask.
+            g = getattr(entry.index, "graph", None) or getattr(
+                entry.index, "graphs", None
+            )
+            key = (
+                "__filter_mask__", node.index_name,
+                repr(node.pushed_filter),
+            )
+            cached = t._device_cache.get(key)
+            if cached is not None and cached[0] is g and g is not None:
+                filter_mask = cached[1]
+            else:
+                # evaluate the predicate over just its referenced columns,
+                # then lift allowed rowids to a slot mask with one
+                # vectorized isin (sort-based, not a per-slot hash probe)
+                cols = _expr_columns(node.pushed_filter)
+                chunk = t.chunk(columns=[c for c in cols if c in t.columns])
+                ok = np.asarray(node.pushed_filter.evaluate(chunk), bool)
+                allowed = chunk["__rowid__"][ok]
+                # both layouts: [cap] single-shard, [S, cap] sharded
+                srow = entry.index.slot_rowid_array()
+                filter_mask = jnp.asarray(np.isin(srow, allowed))
+                if g is not None:
+                    t._device_cache[key] = (g, filter_mask)
         _, rows = _search_index(
             db, node.index_name, q, node.k, filter_mask=filter_mask
         )
