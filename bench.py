@@ -50,6 +50,31 @@ import numpy as np
 # bandwidth-utilization ratios (the MXU denominators are measured live)
 HBM_PEAK_GB_S = 819.0
 
+# Wall-clock start, preserved across watchdog re-execs via the
+# environment so the total budget covers every attempt.
+_T0 = float(os.environ.setdefault("VSS_BENCH_T0", str(time.time())))
+# Total budget (driver kills at ~3600s; leave headroom so the JSON line
+# always lands) and a per-arm budget for the extra configs.
+BUDGET_S = float(os.environ.get("VSS_BENCH_BUDGET", 3200))
+ARM_BUDGET_S = float(os.environ.get("VSS_BENCH_ARM_BUDGET", 900))
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T0)
+
+
+class ArmTimeout(Exception):
+    """Raised inside an arm when its time budget is exhausted; the arm
+    records what it has instead of killing the artifact (round 3 lost
+    its entire JSON line to an unbounded GIST build, BENCH_r03 rc=124)."""
+
+
+def emit(out):
+    """Print the artifact JSON line NOW. Called after the flagship and
+    re-called (with the enriched object) after every arm, so the last
+    parseable stdout line always reflects everything measured so far."""
+    print(json.dumps(out), flush=True)
+
 
 _last_progress = time.time()
 
@@ -654,42 +679,66 @@ def main():
         },
         **extra,
     }
+    # Flagship lands NOW: round 3 lost its entire artifact because the
+    # one json.dumps at the very end never ran (rc=124 mid-GIST-arm).
+    # Every later emit() reprints the enriched object, so the LAST
+    # parseable stdout line always reflects everything measured so far.
+    emit(out)
 
-    def run_arm(name, a_vecs, a_queries, a_metric, ef0):
+    def run_arm(name, a_vecs, a_queries, a_metric, ef0, deadline=None):
         """One full config: GT -> build -> ef ladder -> scan A/B.
-        Same slope-timed in-graph methodology as the flagship."""
+        Same slope-timed in-graph methodology as the flagship. `deadline`
+        (absolute time.time()) bounds the arm: blown mid-phase, the arm
+        returns whatever it has measured with a 'truncated' marker."""
         from vss_tpu.index import HNSWConfig
         from vss_tpu.index.dense import HNSWIndex as _HI
         from vss_tpu.ops.scan import native_scan_supported, scan_topk
 
+        def _check(phase):
+            if deadline is not None and time.time() > deadline:
+                raise ArmTimeout(phase)
+
         an, ad = a_vecs.shape
+        block = {"n": an, "d": ad, "metric": a_metric, "k": K,
+                 "storage": STORAGE}
         a_qb = min(QBATCH, a_queries.shape[0])
         anq = a_queries.shape[0] // a_qb * a_qb
         anb = anq // a_qb
         aq = jnp.asarray(a_queries[:anq].reshape(anb, a_qb, ad))
-        log(f"[bench:{name}] N={an} D={ad} metric={a_metric}: ground truth...")
-        xs = jnp.asarray(a_vecs)
-        a_gt = np.concatenate(
-            [np.asarray(bruteforce_topk(aq[i], xs, K, a_metric)[1])
-             for i in range(anb)]
-        )
-        del xs
+        try:
+            log(f"[bench:{name}] N={an} D={ad} metric={a_metric}: "
+                "ground truth...")
+            xs = jnp.asarray(a_vecs)
+            a_gt = np.concatenate(
+                [np.asarray(bruteforce_topk(aq[i], xs, K, a_metric)[1])
+                 for i in range(anb)]
+            )
+            del xs
+            _check("ground_truth")
 
-        acfg = HNSWConfig(dims=ad, metric=a_metric, ef_search=ef0,
-                          storage_dtype=STORAGE, rerank=RERANK)
-        t0a = time.perf_counter()
+            acfg = HNSWConfig(dims=ad, metric=a_metric, ef_search=ef0,
+                              storage_dtype=STORAGE, rerank=RERANK)
+            t0a = time.perf_counter()
 
-        def _prog(done, n):
-            if done <= WAVE or done % (WAVE * 64) < WAVE or done >= n:
-                log(f"[bench:{name}] build {done}/{n} "
-                    f"({time.perf_counter() - t0a:.0f}s)")
+            def _prog(done, n):
+                if done <= WAVE or done % (WAVE * 64) < WAVE or done >= n:
+                    log(f"[bench:{name}] build {done}/{n} "
+                        f"({time.perf_counter() - t0a:.0f}s)")
+                _check(f"build {done}/{n}")
 
-        aidx = _HI.build(a_vecs, acfg, wave_size=WAVE, expand=EXPAND,
-                         method=BUILD, progress=_prog)
-        _ = float(np.asarray(aidx.graph.count))
-        a_build_s = time.perf_counter() - t0a
-        log(f"[bench:{name}] build {a_build_s:.1f}s ({an/a_build_s:.0f} rows/s"
-            " incl. per-shape JIT)")
+            aidx = _HI.build(a_vecs, acfg, wave_size=WAVE, expand=EXPAND,
+                             method=BUILD, progress=_prog)
+            _ = float(np.asarray(aidx.graph.count))
+            a_build_s = time.perf_counter() - t0a
+            log(f"[bench:{name}] build {a_build_s:.1f}s "
+                f"({an/a_build_s:.0f} rows/s incl. per-shape JIT)")
+            block["build_rows_per_s"] = round(an / a_build_s, 1)
+            block["build_seconds"] = round(a_build_s, 1)
+            _check("build")
+        except ArmTimeout as e:
+            block["truncated"] = f"time budget at {e}"
+            log(f"[bench:{name}] truncated: time budget at {e}")
+            return block
 
         ag, ac = aidx.graph, aidx.config
         a_allow = ag.valid
@@ -705,14 +754,20 @@ def main():
         def asc(qs):
             return qs / a_scale if STORAGE == "int8" else qs
 
+        # aps/apv/axn/apt are jit ARGUMENTS, not closure captures: a
+        # captured device array becomes an HLO constant, and the GIST
+        # arm's ~460 MB packed tape would blow the remote-compile
+        # tunnel's request-body cap (HTTP 413) — same rationale as the
+        # flagship search_loop above.
         @partial(jax.jit, static_argnames=("iters", "ef"))
-        def a_loop(g_, q_, al_, rt_, iters: int, ef: int):
+        def a_loop(g_, q_, al_, rt_, aps_, apv_, axn_, apt_, iters: int,
+                   ef: int):
             def body(i, carry):
                 acc, delta = carry
                 d, _sl, _it, _ev = _hnsw_search_impl(
                     g_, ac, asc(q_[i % anb]) + delta, al_, K, ef, ESEARCH,
-                    0, False, True, a_fused, aps, apv, N_SEEDS, axn, apt,
-                    app, rt_,
+                    0, False, True, a_fused, aps_, apv_, N_SEEDS, axn_,
+                    apt_, app, rt_,
                 )
                 s = d[0, 0]
                 return acc + s, delta + s * 1e-30
@@ -730,7 +785,11 @@ def main():
             return hits / (anq * K)
 
         def a_run(ef):
-            per = _slope(lambda it: a_loop(ag, aq, a_allow, art, it, ef), 2, 8)
+            per = _slope(
+                lambda it: a_loop(
+                    ag, aq, a_allow, art, aps, apv, axn, apt, it, ef
+                ), 2, 8,
+            )
 
             def rows(i):
                 _d, sl, _i2, _e2 = _hnsw_search_impl(
@@ -744,25 +803,29 @@ def main():
 
             return a_qb / per, a_recall(rows)
 
-        a_ef = ef0
-        a_qps, a_rec = a_run(a_ef)
-        log(f"[bench:{name}] ef={a_ef}: {a_qps:.0f} qps recall@{K}={a_rec:.4f}")
-        for ef_try in (128, 192):
-            if a_rec >= RECALL_TARGET or ef_try <= a_ef:
-                break
-            a_ef = ef_try
+        try:
+            a_ef = ef0
             a_qps, a_rec = a_run(a_ef)
             log(f"[bench:{name}] ef={a_ef}: {a_qps:.0f} qps "
                 f"recall@{K}={a_rec:.4f}")
-
-        block = {
-            "n": an, "d": ad, "metric": a_metric, "k": K,
-            "graph_qps": round(a_qps, 1), "graph_recall": round(a_rec, 4),
-            "graph_ef": a_ef,
-            "build_rows_per_s": round(an / a_build_s, 1),
-            "build_seconds": round(a_build_s, 1),
-            "storage": STORAGE,
-        }
+            block.update(graph_qps=round(a_qps, 1),
+                         graph_recall=round(a_rec, 4), graph_ef=a_ef)
+            for ef_try in (128, 192):
+                if a_rec >= RECALL_TARGET or ef_try <= a_ef:
+                    break
+                _check(f"ladder ef={ef_try}")
+                a_ef = ef_try
+                a_qps, a_rec = a_run(a_ef)
+                log(f"[bench:{name}] ef={a_ef}: {a_qps:.0f} qps "
+                    f"recall@{K}={a_rec:.4f}")
+                block.update(graph_qps=round(a_qps, 1),
+                             graph_recall=round(a_rec, 4), graph_ef=a_ef)
+            _check("ladder done")
+        except ArmTimeout as e:
+            block["truncated"] = f"time budget at {e}"
+            log(f"[bench:{name}] truncated: time budget at {e}")
+            del aidx
+            return block
 
         if native_scan_supported(ag.vectors.dtype):
             try:
@@ -828,38 +891,63 @@ def main():
     # lands as a sub-object of the single JSON line; a wedged arm records
     # its error instead of killing the artifact.
     del idx, graph, r_tape, p_tab, g_tab, x_norms, p_slots, p_vecs, allow
-    if not on_cpu and os.environ.get("VSS_BENCH_IID", "1") == "1":
-        try:
-            rng_i = np.random.default_rng(7)
-            iid_v = rng_i.standard_normal((N, D)).astype(np.float32) * 50.0
-            iid_q = rng_i.standard_normal((2 * QBATCH, D)).astype(np.float32) * 50.0
-            out["iid"] = run_arm("iid", iid_v, iid_q, METRIC, EF)
-            del iid_v, iid_q
-        except Exception as e:
-            log(f"[bench:iid] arm failed: {e}")
-            out["iid"] = {"error": str(e)[:300]}
-    if not on_cpu and os.environ.get("VSS_BENCH_GIST", "1") == "1":
-        try:
-            GN = int(os.environ.get("VSS_BENCH_GIST_N", 500_000))
-            GD = 960
-            jax.clear_caches()
-            rng_g = np.random.default_rng(3)
-            n_cent = max(64, GN // 2000)
-            g_cent = rng_g.uniform(0, 1, (n_cent, GD))
-            gi = rng_g.integers(0, n_cent, GN)
-            gist_v = np.abs(
-                g_cent[gi] + rng_g.normal(0, 0.12, (GN, GD))
-            ).astype(np.float32)
-            gq_i = rng_g.integers(0, n_cent, 2 * QBATCH)
-            gist_q = np.abs(
-                g_cent[gq_i] + rng_g.normal(0, 0.12, (2 * QBATCH, GD))
-            ).astype(np.float32)
-            out["gist_960d"] = run_arm("gist", gist_v, gist_q, "cosine", EF)
-        except Exception as e:
-            log(f"[bench:gist] arm failed: {e}")
-            out["gist_960d"] = {"error": str(e)[:300]}
 
-    print(json.dumps(out))
+    def _arm_deadline(key):
+        """Per-arm wall-clock budget (VERDICT r3 task #2). Returns an
+        absolute deadline, or None to skip (recorded, not silent)."""
+        rem = _remaining()
+        if rem < 180:
+            out[key] = {"skipped": f"time budget ({rem:.0f}s left)"}
+            log(f"[bench:{key}] skipped: {rem:.0f}s left")
+            return None
+        return time.time() + min(ARM_BUDGET_S, rem - 60)
+
+    # GIST first: the 960-d number has been lost three rounds running,
+    # and iid's headline (recall) is cheaper to reproduce.
+    if not on_cpu and os.environ.get("VSS_BENCH_GIST", "1") == "1":
+        dl = _arm_deadline("gist_960d")
+        if dl is not None:
+            try:
+                GN = int(os.environ.get("VSS_BENCH_GIST_N", 500_000))
+                GD = 960
+                jax.clear_caches()
+                rng_g = np.random.default_rng(3)
+                n_cent = max(64, GN // 2000)
+                g_cent = rng_g.uniform(0, 1, (n_cent, GD))
+                gi = rng_g.integers(0, n_cent, GN)
+                gist_v = np.abs(
+                    g_cent[gi] + rng_g.normal(0, 0.12, (GN, GD))
+                ).astype(np.float32)
+                gq_i = rng_g.integers(0, n_cent, 2 * QBATCH)
+                gist_q = np.abs(
+                    g_cent[gq_i] + rng_g.normal(0, 0.12, (2 * QBATCH, GD))
+                ).astype(np.float32)
+                out["gist_960d"] = run_arm(
+                    "gist", gist_v, gist_q, "cosine", EF, deadline=dl
+                )
+                del gist_v, gist_q
+            except Exception as e:
+                log(f"[bench:gist] arm failed: {e}")
+                out["gist_960d"] = {"error": str(e)[:300]}
+        emit(out)
+    if not on_cpu and os.environ.get("VSS_BENCH_IID", "1") == "1":
+        dl = _arm_deadline("iid")
+        if dl is not None:
+            try:
+                jax.clear_caches()
+                rng_i = np.random.default_rng(7)
+                iid_v = rng_i.standard_normal((N, D)).astype(np.float32) * 50.0
+                iid_q = rng_i.standard_normal(
+                    (2 * QBATCH, D)).astype(np.float32) * 50.0
+                out["iid"] = run_arm("iid", iid_v, iid_q, METRIC, EF,
+                                     deadline=dl)
+                del iid_v, iid_q
+            except Exception as e:
+                log(f"[bench:iid] arm failed: {e}")
+                out["iid"] = {"error": str(e)[:300]}
+        emit(out)
+
+    emit(out)
 
 
 if __name__ == "__main__":

@@ -26,9 +26,16 @@ def test_bench_json_contract():
         capture_output=True, text=True, timeout=420, env=env, cwd=_REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
+    # the artifact is emitted incrementally (flagship first, re-emitted
+    # enriched after every arm — round 3 lost its whole artifact to an
+    # end-only print): EVERY stdout line must parse, the LAST one is the
+    # record, and later lines only ever grow the earlier ones
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
-    assert len(lines) == 1, out.stdout
-    rec = json.loads(lines[0])
+    assert lines, out.stdout
+    parsed = [json.loads(l) for l in lines]
+    rec = parsed[-1]
+    for earlier in parsed[:-1]:
+        assert set(earlier) <= set(rec)
     for key in ("metric", "value", "unit", "vs_baseline", "recall_at_k",
                 "build_rows_per_s", "recall_after_compact"):
         assert key in rec, key
