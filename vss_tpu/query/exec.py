@@ -47,6 +47,37 @@ def _is_null(vals: np.ndarray) -> np.ndarray:
     return np.zeros(len(vals), bool)
 
 
+def _expr_cache_key(e):
+    """Content-exact, hashable key for an Expr tree (or field value).
+
+    repr()/str() are unusable as cache keys here: numpy truncates array
+    reprs past the user-settable print threshold and Const.__str__
+    abbreviates vectors as "[n-vec]", so two DIFFERENT vector predicates
+    could collide and serve the wrong cached filter mask. Arrays key on
+    (dtype, shape, raw bytes); dataclass Exprs key structurally."""
+    import dataclasses
+
+    from vss_tpu.query.ir import Expr
+
+    if isinstance(e, Expr) and dataclasses.is_dataclass(e):
+        return (type(e).__name__,) + tuple(
+            _expr_cache_key(getattr(e, f.name))
+            for f in dataclasses.fields(e)
+        )
+    if isinstance(e, (list, tuple)):
+        return ("seq",) + tuple(_expr_cache_key(x) for x in e)
+    if isinstance(e, np.ndarray):
+        return ("nd", str(e.dtype), e.shape,
+                np.ascontiguousarray(e).tobytes())
+    return ("v", repr(e))
+
+
+# bound on cached device filter masks per table: a workload with
+# per-query literals (price < ?) would otherwise grow one device mask
+# per distinct predicate forever (ADVICE r3)
+_FILTER_MASK_CACHE_CAP = 32
+
+
 def _expr_columns(e) -> set:
     """Column names referenced by an expression tree."""
     from vss_tpu.query.ir import ColumnRef
@@ -370,10 +401,14 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
             )
             key = (
                 "__filter_mask__", node.index_name,
-                repr(node.pushed_filter),
+                _expr_cache_key(node.pushed_filter),
             )
             cached = t._device_cache.get(key)
-            if cached is not None and cached[0] is g and g is not None:
+            if (
+                cached is not None
+                and g is not None
+                and cached[0]() is g
+            ):
                 filter_mask = cached[1]
             else:
                 # evaluate the predicate over just its referenced columns,
@@ -387,7 +422,26 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
                 srow = entry.index.slot_rowid_array()
                 filter_mask = jnp.asarray(np.isin(srow, allowed))
                 if g is not None:
-                    t._device_cache[key] = (g, filter_mask)
+                    # the validity token is a WEAKREF to the graph pytree:
+                    # a superseded graph (compact/insert publishes a new
+                    # one) must not stay pinned in device memory by stale
+                    # mask entries (ADVICE r3). Tuples/lists (sharded
+                    # `graphs`) don't support weakref — hold those
+                    # strongly; the LRU cap still bounds them.
+                    import weakref
+
+                    try:
+                        token = weakref.ref(g)
+                    except TypeError:
+                        token = (lambda obj: (lambda: obj))(g)
+                    fkeys = [
+                        k for k in t._device_cache
+                        if isinstance(k, tuple) and k
+                        and k[0] == "__filter_mask__"
+                    ]
+                    if len(fkeys) >= _FILTER_MASK_CACHE_CAP:
+                        t._device_cache.pop(fkeys[0], None)  # oldest-in
+                    t._device_cache[key] = (token, filter_mask)
         _, rows = _search_index(
             db, node.index_name, q, node.k, filter_mask=filter_mask
         )

@@ -65,7 +65,10 @@ def read_vecs(path: str) -> np.ndarray:
     if ext == ".bvecs":
         return read_bvecs(path)
     if ext == ".ivecs":
-        return read_ivecs(path).astype(np.float32)
+        # ground-truth neighbor IDS, not vector data: keep int32 — a
+        # float32 cast silently corrupts ids above 2^24 (SIFT1B gnd
+        # files; ADVICE r3)
+        return read_ivecs(path)
     if ext == ".npy":
         return np.asarray(np.load(path), np.float32)
     raise ValueError(f"unknown vector file format: {path}")
