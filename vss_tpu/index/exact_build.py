@@ -583,6 +583,20 @@ def build_graph_exact(
         cand_d, cand_i = ivf_candidates(
             xv, slots, C0, config.metric, seed=seed + 1, progress=knn_prog,
         )
+        # IVF lists are locality-dependent: on flat (iid-like) data the
+        # probed pool misses the true neighbors and the graph collapses
+        # (round-3: recall@10 = 0.095 at 1M iid). NN-descent rounds are
+        # the distribution-agnostic repair; the sampled-oracle trigger
+        # inside makes clustered corpora pay only a ~0.2 s check.
+        if os.environ.get("VSS_NND", "1") == "1":
+            from vss_tpu.index.nn_descent import nn_descent_refine
+
+            cand_d, cand_i = nn_descent_refine(
+                xv, cand_d, cand_i, config.metric,
+                max_rounds=int(os.environ.get("VSS_NND_ROUNDS", "6")),
+                seed=seed + 2,
+            )
+            _mark("nn-descent", cand_i)
     else:
         cand_d, cand_i = exact_knn(
             xv, slots, C0, config.metric, block=block, tile=tile,
