@@ -599,9 +599,16 @@ def main():
                 log(f"[bench] scan-serve failed: {e}")
                 scan_block = {"error": str(e)[:200]}
 
-    # the engine serves whichever physical operator is fastest at the
-    # recall bar (the cost-based planner's job, query/cost.py); report
-    # the winner as the headline and both paths in full
+    # the ENGINE owns the serving decision (query/cost.serving_path — the
+    # same model the SQL planner uses to emit EXACT_SCAN_TOPK); the bench
+    # asks it, reports the predicted path, and headlines the measured
+    # winner with a disagreement marker if the model mispredicts
+    from vss_tpu.query.cost import serving_path as _cost_path
+
+    model_path = _cost_path(
+        N, D, jnp.dtype(graph.vectors.dtype).itemsize, QBATCH, ef_used,
+        config.m0, ESEARCH,
+    )
     serving_path = "graph"
     head_qps, head_rec, head_ef = qps, rec, ef_used
     if (scan_block and "qps" in scan_block
@@ -610,6 +617,9 @@ def main():
         serving_path = "scan"
         head_qps, head_rec = scan_block["qps"], scan_block["recall"]
         head_ef = None
+    if model_path != serving_path:
+        log(f"[bench] cost model predicted {model_path}, measured winner "
+            f"is {serving_path} — refit query/cost.py constants")
 
     extra = {}
     if DEL_FRAC > 0:
@@ -647,6 +657,7 @@ def main():
         "k": K,
         "ef_search": head_ef,
         "serving_path": serving_path,
+        "serving_path_model": model_path,
         "graph_qps": round(qps, 1),
         "graph_recall": round(rec, 4),
         "graph_ef": ef_used,

@@ -9,6 +9,7 @@ import pytest
 
 from vss_tpu import Database, col, const, fn
 from vss_tpu.query.cost import prefer_exact
+from vss_tpu.query.ir import BinOp
 
 
 def grid_729():
@@ -42,14 +43,65 @@ def test_model_matches_flagship_measurements():
     assert prefer_exact(729, 3, 4, n_queries=1, ef=64, m0=32)
 
 
+def test_tape_scan_crossover_at_flagship_scale():
+    """Storage-native int8 tape scan (EXACT_SCAN_TOPK pricing): at the
+    flagship point (1M x 128 int8, ef=64, m0=32) the graph still wins
+    single queries, the scan wins 512-query batches — the measured
+    BENCH_r03 A/B (47.6k qps scan vs 27.9k graph at batch 512)."""
+    from vss_tpu.query.cost import serving_path
+
+    assert not prefer_exact(
+        1_000_000, 128, 1, n_queries=1, ef=64, m0=32, tape_scan=True
+    )
+    assert prefer_exact(
+        1_000_000, 128, 1, n_queries=512, ef=64, m0=32, tape_scan=True
+    )
+    assert serving_path(1_000_000, 128, 1, 512, 64, 32) == "scan"
+    assert serving_path(1_000_000, 128, 1, 1, 64, 32) == "graph"
+
+
 def test_topn_flips_to_exact_on_tiny_corpus(db):
     q = db.query("items").order_by(dist_q([5, 5, 5])).limit(3).select("id")
     assert "HNSW_INDEX_SCAN" in q.explain()  # default: reference parity
     db.set_setting("hnsw_cost_model", True)
     plan = q.explain()
-    assert "BRUTE_FORCE_TOPK" in plan and "HNSW_INDEX_SCAN" not in plan
+    # the index's own tape serves the exact path (EXACT_SCAN_TOPK)
+    assert "EXACT_SCAN_TOPK" in plan and "HNSW_INDEX_SCAN" not in plan
+    assert "index=my_idx" in plan
     res = q.execute()
     assert res["id"][0] == 5 * 81 + 5 * 9 + 5
+
+
+def test_exact_scan_with_filter_is_exact_filtered_topk(db):
+    """Pushed filters mask slots BEFORE top-k on the scan path: k
+    applies to the filtered set (better than the graph's post-filter,
+    which can come home short)."""
+    db.set_setting("hnsw_cost_model", True)
+    q = (
+        db.query("items")
+        .filter(BinOp("<", col("id"), const(100)))
+        .order_by(dist_q([5, 5, 5]))
+        .limit(5)
+        .select("id")
+    )
+    plan = q.explain()
+    assert "EXACT_SCAN_TOPK" in plan and "filter=" in plan
+    res = q.execute()
+    assert len(res["id"]) == 5  # k survives the filter
+    assert all(v < 100 for v in res["id"])
+    # parity with the unfiltered brute-force oracle restricted to id<100
+    import jax.numpy as jnp
+
+    from vss_tpu.ops import bruteforce_topk
+
+    vecs = grid_729()[:100]
+    _, ids = bruteforce_topk(
+        jnp.asarray(np.array([[5.0, 5.0, 5.0]], np.float32)),
+        jnp.asarray(vecs), 5, "l2sq",
+    )
+    assert set(np.asarray(res["id"]).tolist()) == set(
+        np.asarray(ids)[0].tolist()
+    )
 
 
 def test_join_flips_to_exact_and_results_match(db):
@@ -73,4 +125,17 @@ def test_sql_surface(db):
     db.sql("SET hnsw_cost_model = true")
     out = db.sql("EXPLAIN SELECT id FROM items ORDER BY array_distance(vec, [5.0, 5.0, 5.0]) LIMIT 3")
     text = str(out)
-    assert "BRUTE_FORCE_TOPK" in text
+    assert "EXACT_SCAN_TOPK" in text
+
+
+def test_exact_scan_without_index_uses_table_column(db):
+    """No index on the column -> the table-column BRUTE_FORCE_TOPK form
+    (the fallback operator keeps its old label)."""
+    db.create_table(
+        "bare", {"id": np.arange(729, dtype=np.int64), "vec": grid_729()}
+    )
+    db.set_setting("hnsw_cost_model", True)
+    q = db.query("bare").order_by(dist_q([5, 5, 5])).limit(3).select("id")
+    plan = q.explain()
+    assert "BRUTE_FORCE_TOPK" in plan and "EXACT_SCAN_TOPK" not in plan
+    assert q.execute()["id"][0] == 5 * 81 + 5 * 9 + 5

@@ -52,6 +52,15 @@ QBATCH = 512
 # Minimum bytes a random row fetch occupies end-to-end (DMA descriptor +
 # HBM burst granularity): short rows don't fetch faster than this.
 MIN_FETCH = 256.0
+# Effective rates of the STORAGE-NATIVE segmin scan (ops/scan.scan_topk)
+# over the index tape, by tape itemsize. int8 fit to the BENCH_r03 tail:
+# 47,632 qps at 512-query batches over 1M x 128 int8 = 10.75 ms/batch
+# for a 128 MB tape stream = 11.9 GB/s effective (the kernel also pays
+# the byte-plane decode + f32 rerank inside that time). bf16 streams the
+# same kernel at 2 B/elem; its rate is interpolated, not yet measured —
+# re-fit when a bf16 flagship lands. f32 tapes route to the plain
+# bruteforce matmul (STREAM_BW).
+TAPE_BW = {1: 11.9e9, 2: 16.0e9, 4: STREAM_BW}
 
 
 def beam_iters(ef: int, expand: int) -> float:
@@ -61,10 +70,20 @@ def beam_iters(ef: int, expand: int) -> float:
     return 4 + (2 * ef) / max(expand, 1)
 
 
-def exact_cost_s(n_rows: int, dims: int, itemsize: int, n_queries: int) -> float:
-    """Wall-clock estimate of BRUTE_FORCE_TOPK over the whole table."""
+def exact_cost_s(
+    n_rows: int, dims: int, itemsize: int, n_queries: int,
+    tape_scan: bool = False,
+) -> float:
+    """Wall-clock estimate of one exact pass over the whole table.
+
+    tape_scan=False prices the f32 table-column matmul
+    (BRUTE_FORCE_TOPK); tape_scan=True prices the storage-native segmin
+    scan over the index tape at `itemsize` (EXACT_SCAN_TOPK) — int8
+    streams ~4x fewer bytes, which is why the planner prefers it at
+    flagship scale for batched queries."""
     passes = max(1, -(-n_queries // QBATCH))
-    return passes * (n_rows * dims * itemsize) / STREAM_BW
+    bw = TAPE_BW.get(itemsize, STREAM_BW) if tape_scan else STREAM_BW
+    return passes * (n_rows * dims * itemsize) / bw
 
 
 def graph_cost_s(
@@ -89,9 +108,35 @@ def prefer_exact(
     ef: int,
     m0: int,
     expand: int = 2,
+    tape_scan: bool = False,
 ) -> bool:
     """True when the exact scan is estimated cheaper than the graph for
-    this (corpus, batch) — the hybrid-planner decision point."""
-    return exact_cost_s(n_rows, dims, itemsize, n_queries) < graph_cost_s(
-        n_queries, dims, itemsize, ef, m0, expand
+    this (corpus, batch) — the hybrid-planner decision point.
+    `tape_scan` selects the storage-native tape-scan pricing (see
+    exact_cost_s); pass the TAPE itemsize with it."""
+    return exact_cost_s(
+        n_rows, dims, itemsize, n_queries, tape_scan=tape_scan
+    ) < graph_cost_s(n_queries, dims, itemsize, ef, m0, expand)
+
+
+def serving_path(
+    n_rows: int,
+    dims: int,
+    tape_itemsize: int,
+    n_queries: int,
+    ef: int,
+    m0: int,
+    expand: int = 2,
+) -> str:
+    """'scan' or 'graph' — the engine-owned serving decision for a
+    batched workload over an index with a native-scannable tape (the
+    logic bench.py used to carry privately; the planner and the bench
+    now both ask here)."""
+    return (
+        "scan"
+        if prefer_exact(
+            n_rows, dims, tape_itemsize, n_queries, ef, m0, expand,
+            tape_scan=True,
+        )
+        else "graph"
     )

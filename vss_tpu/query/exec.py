@@ -78,6 +78,57 @@ def _expr_cache_key(e):
 _FILTER_MASK_CACHE_CAP = 32
 
 
+def _device_filter_mask(t, entry, index_name, pushed_filter):
+    """Device-resident slot mask for a pushed predicate, cached per
+    (predicate content, table version, graph identity). Only the FIRST
+    use of a predicate pays the host pass (predicate eval + isin over
+    the slot tape). The cache invalidates with the table's
+    _device_cache on any table DML (`Table._bump`); the graph-identity
+    check catches index-side changes (insert/delete/compact publish a
+    fresh pytree). The reference applies the predicate inside the
+    search (index_dense.hpp:1816-1828); here it is a pure device mask
+    shared by the graph path and the exact-scan path."""
+    if pushed_filter is None:
+        return None
+    g = getattr(entry.index, "graph", None) or getattr(
+        entry.index, "graphs", None
+    )
+    key = ("__filter_mask__", index_name, _expr_cache_key(pushed_filter))
+    cached = t._device_cache.get(key)
+    if cached is not None and g is not None and cached[0]() is g:
+        return cached[1]
+    # evaluate the predicate over just its referenced columns, then lift
+    # allowed rowids to a slot mask with one vectorized isin (sort-based,
+    # not a per-slot hash probe)
+    cols = _expr_columns(pushed_filter)
+    chunk = t.chunk(columns=[c for c in cols if c in t.columns])
+    ok = np.asarray(pushed_filter.evaluate(chunk), bool)
+    allowed = chunk["__rowid__"][ok]
+    # both layouts: [cap] single-shard, [S, cap] sharded
+    srow = entry.index.slot_rowid_array()
+    filter_mask = jnp.asarray(np.isin(srow, allowed))
+    if g is not None:
+        # the validity token is a WEAKREF to the graph pytree: a
+        # superseded graph (compact/insert publishes a new one) must not
+        # stay pinned in device memory by stale mask entries (ADVICE
+        # r3). Tuples/lists (sharded `graphs`) don't support weakref —
+        # hold those strongly; the LRU cap still bounds them.
+        import weakref
+
+        try:
+            token = weakref.ref(g)
+        except TypeError:
+            token = (lambda obj: (lambda: obj))(g)
+        fkeys = [
+            k for k in t._device_cache
+            if isinstance(k, tuple) and k and k[0] == "__filter_mask__"
+        ]
+        if len(fkeys) >= _FILTER_MASK_CACHE_CAP:
+            t._device_cache.pop(fkeys[0], None)  # oldest-in
+        t._device_cache[key] = (token, filter_mask)
+    return filter_mask
+
+
 def _expr_columns(e) -> set:
     """Column names referenced by an expression tree."""
     from vss_tpu.query.ir import ColumnRef
@@ -385,63 +436,9 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         entry = db.indexes[node.index_name]
         t = db.table(node.table)
         q = np.asarray(node.query, np.float32)[None, :]
-        filter_mask = None
-        if node.pushed_filter is not None:
-            # device-resident filter mask, cached per (predicate, table
-            # version, graph version): only the FIRST use of a predicate
-            # pays the host pass (predicate eval + isin over the slot
-            # tape); repeat queries reuse the device mask. The cache
-            # invalidates with the table's _device_cache on any table DML
-            # (`Table._bump`), and the graph-identity check catches
-            # index-side changes (insert/delete/compact publish a fresh
-            # pytree). Ref applies the predicate inside the search
-            # (index_dense.hpp:1816-1828); here it is a pure device mask.
-            g = getattr(entry.index, "graph", None) or getattr(
-                entry.index, "graphs", None
-            )
-            key = (
-                "__filter_mask__", node.index_name,
-                _expr_cache_key(node.pushed_filter),
-            )
-            cached = t._device_cache.get(key)
-            if (
-                cached is not None
-                and g is not None
-                and cached[0]() is g
-            ):
-                filter_mask = cached[1]
-            else:
-                # evaluate the predicate over just its referenced columns,
-                # then lift allowed rowids to a slot mask with one
-                # vectorized isin (sort-based, not a per-slot hash probe)
-                cols = _expr_columns(node.pushed_filter)
-                chunk = t.chunk(columns=[c for c in cols if c in t.columns])
-                ok = np.asarray(node.pushed_filter.evaluate(chunk), bool)
-                allowed = chunk["__rowid__"][ok]
-                # both layouts: [cap] single-shard, [S, cap] sharded
-                srow = entry.index.slot_rowid_array()
-                filter_mask = jnp.asarray(np.isin(srow, allowed))
-                if g is not None:
-                    # the validity token is a WEAKREF to the graph pytree:
-                    # a superseded graph (compact/insert publishes a new
-                    # one) must not stay pinned in device memory by stale
-                    # mask entries (ADVICE r3). Tuples/lists (sharded
-                    # `graphs`) don't support weakref — hold those
-                    # strongly; the LRU cap still bounds them.
-                    import weakref
-
-                    try:
-                        token = weakref.ref(g)
-                    except TypeError:
-                        token = (lambda obj: (lambda: obj))(g)
-                    fkeys = [
-                        k for k in t._device_cache
-                        if isinstance(k, tuple) and k
-                        and k[0] == "__filter_mask__"
-                    ]
-                    if len(fkeys) >= _FILTER_MASK_CACHE_CAP:
-                        t._device_cache.pop(fkeys[0], None)  # oldest-in
-                    t._device_cache[key] = (token, filter_mask)
+        filter_mask = _device_filter_mask(
+            t, entry, node.index_name, node.pushed_filter
+        )
         _, rows = _search_index(
             db, node.index_name, q, node.k, filter_mask=filter_mask
         )
@@ -450,9 +447,23 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
 
     if isinstance(node, BruteForceTopK):
         t = db.table(node.table)
+        q = jnp.asarray(np.asarray(node.query, np.float32)[None, :])
+        if node.via_index is not None:
+            # EXACT_SCAN_TOPK: storage-native scan over the index tape
+            # (+ exact f32 rerank) — the planner-selected serving path.
+            # Pushed filters mask slots BEFORE top-k, so k applies to
+            # the filtered set (exact filtered search).
+            entry = db.indexes[node.via_index]
+            filter_mask = _device_filter_mask(
+                t, entry, node.via_index, node.pushed_filter
+            )
+            _, rows = entry.index.scan_search(
+                q, node.k, filter_mask=filter_mask
+            )
+            rows = np.asarray(rows)[0]
+            return t.fetch(rows[rows >= 0], columns=node.projection)
         vecs, valid = t.device_column(node.column)
         fdef = resolve_function(node.metric_function)
-        q = jnp.asarray(np.asarray(node.query, np.float32)[None, :])
         d, slots = bruteforce_topk(
             q, vecs, node.k, fdef.index_metric, valid_mask=valid
         )

@@ -485,7 +485,18 @@ class ChunkSource(PlanNode):
 
 @dataclasses.dataclass
 class BruteForceTopK(PlanNode):
-    """Exact fallback scan: MXU distance tiles + chunked top-k."""
+    """Exact scan: MXU distance tiles + chunked top-k.
+
+    Two physical forms share this node:
+    - table-column scan (via_index=None): f32 device column, the
+      fallback when no index exists,
+    - index-tape scan (via_index set): the storage-native segmin scan
+      over the index's int8/bf16 tape + exact f32 rerank
+      (ops/scan.scan_topk) — the fastest operator at flagship scale,
+      chosen by the hybrid planner (query/cost.py). `pushed_filter`
+      (index form only) masks slots before top-k, so k applies to the
+      FILTERED set — exact filtered search, unlike the graph path's
+      post-hoc recheck."""
 
     table: str
     column: str
@@ -493,6 +504,8 @@ class BruteForceTopK(PlanNode):
     k: int
     metric_function: str
     projection: Optional[list[str]] = None
+    via_index: Optional[str] = None
+    pushed_filter: Optional[Expr] = None
 
     def label(self):
         extra = (
@@ -500,6 +513,17 @@ class BruteForceTopK(PlanNode):
             if self.projection is not None
             else ""
         )
+        if self.via_index is not None:
+            filt = (
+                f", filter={self.pushed_filter}"
+                if self.pushed_filter is not None
+                else ""
+            )
+            return (
+                f"EXACT_SCAN_TOPK({self.table}.{self.column}, "
+                f"index={self.via_index}, k={self.k}, "
+                f"{self.metric_function}{filt}{extra})"
+            )
         return (
             f"BRUTE_FORCE_TOPK({self.table}.{self.column}, k={self.k}, "
             f"{self.metric_function}{extra})"

@@ -68,9 +68,23 @@ def _cost_prefers_exact(db: Database, entry, n_rows: int, n_queries: int,
 
     cfg = entry.index.config
     ef = max(int(db.settings.get("hnsw_ef_search") or 0), cfg.ef_search, k)
+    # price the operator that would actually run: indexes with a
+    # native-scannable tape serve the exact path via the storage-native
+    # segmin scan (int8 streams 4x fewer bytes than the f32 matmul)
+    tape_scan = _scan_via_index(entry)
     return prefer_exact(
         n_rows, cfg.dims, _ITEMSIZE.get(cfg.storage_dtype, 4), n_queries,
-        ef, cfg.m0,
+        ef, cfg.m0, tape_scan=tape_scan,
+    )
+
+
+def _scan_via_index(entry) -> bool:
+    """Whether this index can serve the exact path from its own tape
+    (single-shard dense index with a supported storage dtype)."""
+    return (
+        entry is not None
+        and hasattr(entry.index, "scan_search")
+        and entry.index.config.storage_dtype in ("int8", "bf16", "f32")
     )
 
 
@@ -226,11 +240,30 @@ def _rewrite_topk(db: Database, node: TopK) -> Optional[PlanNode]:
     if t.vector_dims(col) != qv.shape[0]:
         return None
     entry = _find_index(db, scan.table, col, fn_name, qv.shape[0])
-    if entry is not None and not filters and _cost_prefers_exact(
+    if entry is not None and _cost_prefers_exact(
         db, entry, t.num_rows, 1, node.k
     ):
-        # hybrid planner: small corpus, exact scan cheaper than the beam
-        entry = None
+        # hybrid planner: the exact scan is cheaper than the beam for
+        # this (corpus, batch). Serve it from the INDEX TAPE when the
+        # index supports it (EXACT_SCAN_TOPK: storage-native scan +
+        # rerank; filters become a slot mask, so k applies to the
+        # filtered set); otherwise fall back to the f32 table column.
+        if _scan_via_index(entry):
+            pushed = None
+            if filters:
+                pred = filters[0]
+                for f in filters[1:]:
+                    pred = BinOp("and", pred, f)
+                pushed = pred
+            new = BruteForceTopK(
+                scan.table, col, qv, node.k, fn_name,
+                via_index=entry.name, pushed_filter=pushed,
+            )
+            for pred in reversed(filters):  # cheap recheck above
+                new = Filter(new, pred)
+            return new
+        if not filters:
+            entry = None
     if entry is not None:
         if (
             filters
