@@ -43,6 +43,29 @@ threading.Thread(target=_watchdog, daemon=True).start()
 _ = jax.devices()
 _claimed.set()
 
+# mid-run wedge watchdog: the tunnel can stall AFTER a clean claim (the
+# first GT op once sat >45 min with ~0 CPU). Exit 42 lets a retry loop
+# re-exec a fresh process (backend registration is per-process).
+_beat = [__import__("time").time()]
+
+
+def _heartbeat():
+    import time as _t
+    while True:
+        _t.sleep(30)
+        if _t.time() - _beat[0] > 420:
+            print("[ladder] no progress for 420s; exit 42",
+                  file=sys.stderr, flush=True)
+            os._exit(42)
+
+
+threading.Thread(target=_heartbeat, daemon=True).start()
+
+
+def _tick(msg):
+    _beat[0] = __import__("time").time()
+    print(msg, file=sys.stderr, flush=True)
+
 import jax.numpy as jnp
 
 from vss_tpu.index import HNSWConfig
@@ -68,17 +91,23 @@ def recall(idx, ef):
 
 
 def run(tag, cand_mode, m, nnd):
+    import time as _t
+
     os.environ["VSS_CAND_MODE"] = cand_mode
     os.environ["VSS_NND"] = "1" if nnd else "0"
     cfg = HNSWConfig(dims=D, metric="l2sq", m=m, ef_search=64,
                      storage_dtype="int8")
     t0 = time.perf_counter()
-    idx = HNSWIndex.build(vecs, cfg, method="exact")
+    idx = HNSWIndex.build(
+        vecs, cfg, method="exact",
+        progress=lambda a, b: _beat.__setitem__(0, _t.time()),
+    )
     _ = float(np.asarray(idx.graph.count))
     bs = time.perf_counter() - t0
     line = f"[ladder] {tag:10s} m={m:2d} build={bs:6.1f}s "
     for ef in (64, 128, 256, 512):
         line += f" ef{ef}={recall(idx, ef):.4f}"
+        _beat[0] = _t.time()
     print(line, file=sys.stderr, flush=True)
     del idx
     jax.clear_caches()

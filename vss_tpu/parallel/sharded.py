@@ -66,6 +66,11 @@ class ShardedHNSWIndex:
         self.dirty = False
         # int8 tapes: global symmetric quantization scale (as HNSWIndex)
         self.vector_scale = 1.0
+        # full-precision rescore side tape, stacked [S, cap, d] in SCALED
+        # units (round-4: single-shard int8 search gets its last ~2
+        # recall points from the exact f32 rerank — the sharded path was
+        # silently worse without one, and rebalance() double-quantized)
+        self.rerank_tapes: Optional[jax.Array] = None
         # per-instance jit caches. NOT functools.lru_cache on the methods:
         # that would key on `self` and pin every index (and its device
         # arrays) for the process lifetime — a leak in long-lived services.
@@ -98,6 +103,24 @@ class ShardedHNSWIndex:
 
     def _place(self, stacked: HNSWGraph) -> HNSWGraph:
         return jax.tree.map(self._put, stacked)
+
+    def _init_rerank_tapes(self, vectors, rowids):
+        """Populate the stacked side tape from scaled f32 vectors using
+        the (shard, slot) map both build paths fill."""
+        rr = self.config.rerank_dtype
+        if rr is None or self.graphs is None:
+            self.rerank_tapes = None
+            return
+        S = self.n_shards
+        cap = int(self.graphs.vectors.shape[1])
+        d = self.config.dims
+        rt = np.zeros((S, cap, d), np.float32)
+        if len(rowids):
+            locs = np.asarray(
+                [self.rowid_to_loc[int(r)] for r in rowids], np.int64
+            )
+            rt[locs[:, 0], locs[:, 1]] = np.asarray(vectors, np.float32)
+        self.rerank_tapes = self._put(rt.astype(rr))
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -145,6 +168,7 @@ class ShardedHNSWIndex:
             build_exact_sharded(
                 self, vectors, rowids, seed=seed, progress=progress
             )
+            self._init_rerank_tapes(vectors, rowids)
             return self
 
         # round-robin partition (balanced for any input order; the
@@ -198,6 +222,7 @@ class ShardedHNSWIndex:
                 self.rowid_to_loc[int(rowids[row])] = (s, slot)
         self._insert_seed = n
         self._insert_counter = n
+        self._init_rerank_tapes(vectors, rowids)
         return self
 
     def _make_wave_fn(self, W: int, efc: int, expand: int, intra_k: int):
@@ -226,18 +251,22 @@ class ShardedHNSWIndex:
 
     # ------------------------------------------------------------ search
     def _search_fn(self, k: int, ef: int, expand: int, all_valid: bool,
-                   with_mask: bool = False):
-        key = (k, ef, expand, all_valid, with_mask)
+                   with_mask: bool = False, with_rerank: bool = False):
+        key = (k, ef, expand, all_valid, with_mask, with_rerank)
         if key in self._search_fns:
             return self._search_fns[key]
         config = self.config
 
-        def per_shard(graph_blk, q, *mask):
+        def per_shard(graph_blk, q, *rest):
             g = jax.tree.map(lambda x: x[0], graph_blk)
+            rest = list(rest)
+            mask = rest.pop(0)[0] if with_mask else None
+            rt = rest.pop(0)[0] if with_rerank else None
             d, slots = hnsw_search(
                 g, config, q, k, ef=ef, expand=expand,
-                filter_mask=mask[0][0] if with_mask else None,
+                filter_mask=mask,
                 assume_all_valid=all_valid,
+                rerank_tape=rt,
             )
             rows = jnp.where(
                 slots >= 0,
@@ -254,7 +283,11 @@ class ShardedHNSWIndex:
             )
             return md, mr
 
-        in_specs = (P(SHARD_AXIS), P()) + ((P(SHARD_AXIS),) if with_mask else ())
+        in_specs = (
+            (P(SHARD_AXIS), P())
+            + ((P(SHARD_AXIS),) if with_mask else ())
+            + ((P(SHARD_AXIS),) if with_rerank else ())
+        )
         fn = jax.shard_map(
             per_shard,
             mesh=self.mesh,
@@ -280,13 +313,18 @@ class ShardedHNSWIndex:
         if self.config.storage_dtype == "int8":
             q = q / self.vector_scale
         ef = max(ef or self.config.ef_search, k)
+        rt = self.rerank_tapes
+        with_rerank = rt is not None
+        extra = (rt,) if with_rerank else ()
         if filter_mask is not None:
             mask = self._put(np.asarray(filter_mask, bool))
-            fn = self._search_fn(k, ef, expand, False, True)
-            d, rows = fn(graphs, q, mask)
+            fn = self._search_fn(k, ef, expand, False, True, with_rerank)
+            d, rows = fn(graphs, q, mask, *extra)
         else:
-            fn = self._search_fn(k, ef, expand, self.deleted_count == 0)
-            d, rows = fn(graphs, q)
+            fn = self._search_fn(
+                k, ef, expand, self.deleted_count == 0, False, with_rerank
+            )
+            d, rows = fn(graphs, q, *extra)
         if self.config.storage_dtype == "int8":
             from vss_tpu.index.dense import rescale_distances
 
@@ -380,6 +418,15 @@ class ShardedHNSWIndex:
         )
         args = [self._put(a) for a in (wv, sl, lv, ur, rid, va)]
         self.graphs = wave_fn(self.graphs, *args)
+        if self.rerank_tapes is not None:
+            # scatter the scaled f32 rows into the side tape at the same
+            # (shard, slot) targets the wave wrote
+            s_arr = np.repeat(np.arange(S), W)[va.reshape(-1)]
+            sl_arr = sl.reshape(-1)[va.reshape(-1)]
+            v_arr = wv.reshape(S * W, d)[va.reshape(-1)]
+            self.rerank_tapes = self.rerank_tapes.at[
+                jnp.asarray(s_arr), jnp.asarray(sl_arr)
+            ].set(jnp.asarray(v_arr, self.rerank_tapes.dtype))
         self.count += n
         self.dirty = True
 
@@ -441,6 +488,10 @@ class ShardedHNSWIndex:
                 count=g.count,
             )
         )
+        if self.rerank_tapes is not None:
+            self.rerank_tapes = self._put(
+                pad(self.rerank_tapes, 1, new_cap, 0.0)
+            )
 
     # ------------------------------------------------ compact / persist
     def _extract_shard(self, s: int):
@@ -459,6 +510,10 @@ class ShardedHNSWIndex:
         }
         idx._insert_seed = self._insert_seed
         idx.vector_scale = self.vector_scale
+        if self.rerank_tapes is not None:
+            idx.rerank_tape = jnp.asarray(np.asarray(self.rerank_tapes[s]))
+        else:
+            idx.rerank_tape = None
         return idx
 
     def _restack(self, locals_) -> None:
@@ -471,6 +526,15 @@ class ShardedHNSWIndex:
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *grown)
         self.graphs = self._place(stacked)
+        rts = [getattr(l, "rerank_tape", None) for l in locals_]
+        if rts and all(rt is not None for rt in rts):
+            self.rerank_tapes = self._put(jnp.stack([
+                jnp.pad(rt, ((0, cap - rt.shape[0]), (0, 0)))
+                if rt.shape[0] < cap else rt[:cap]
+                for rt in rts
+            ]))
+        else:
+            self.rerank_tapes = None
         self.next_slot = [l.next_slot for l in locals_]
         self.upper_used = [l.upper_used for l in locals_]
         self.free_slots = [list(l.free_slots) for l in locals_]
@@ -525,11 +589,20 @@ class ShardedHNSWIndex:
             return False
         vecs, rids = [], []
         host_valid = np.asarray(self.graphs.valid)
+        # rebuild from the FULL-PRECISION side tape when one exists:
+        # requantizing from the int8 tape double-quantizes on every
+        # rebalance (round-3 weak #9); the side tape holds the exact
+        # scaled f32 values, so scale-retape round trips losslessly
+        host_r = (
+            np.asarray(self.rerank_tapes)
+            if self.rerank_tapes is not None else None
+        )
         host_vecs = np.asarray(self.graphs.vectors)
         host_rows = np.asarray(self.graphs.slot_to_rowid)
         for s in range(self.n_shards):
             live = np.flatnonzero(host_valid[s])
-            v = host_vecs[s][live].astype(np.float32)
+            src = host_r[s] if host_r is not None else host_vecs[s]
+            v = src[live].astype(np.float32)
             if self.config.storage_dtype == "int8":
                 v = v * self.vector_scale
             vecs.append(v)
