@@ -306,6 +306,16 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
                     ginv, weights=fmask.astype(np.float64), minlength=n_groups
                 ).astype(np.int64)
                 continue
+            if fn == "any_value":
+                # first non-filtered value per group (DuckDB: first
+                # non-NULL; group order here is stable input order)
+                vals_a = np.asarray(arg.evaluate(chunk))
+                res = np.empty(n_groups, object)
+                for g in range(n_groups):
+                    pos = np.flatnonzero((ginv == g) & fmask)
+                    res[g] = vals_a[pos[0]].tolist() if len(pos) else None
+                out[name] = res
+                continue
             if fn == "bool_and":
                 bv = np.asarray(arg.evaluate(chunk)).astype(bool)
                 res = np.ones(n_groups, bool)

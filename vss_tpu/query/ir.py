@@ -47,7 +47,15 @@ class ColumnRef(Expr):
     name: str
 
     def evaluate(self, chunk):
-        return chunk[self.name]
+        if self.name in chunk:
+            return chunk[self.name]
+        # qualified ref over a source that carries bare names (plain
+        # scans): `t.col` resolves to `col` when the exact key is absent
+        if "." in self.name:
+            base = self.name.split(".")[-1]
+            if base in chunk:
+                return chunk[base]
+        return chunk[self.name]  # KeyError with the original name
 
     def __str__(self):
         return self.name

@@ -553,6 +553,60 @@ def _range_cross_product(items) -> "PlanNode":
     return ChunkSource("range", data)
 
 
+# zero-arg table functions admissible in generic FROM cross products
+_CROSSABLE_TABLE_FNS = {"pragma_database_size", "pragma_hnsw_index_info"}
+
+# result-row guard for eager cross products (these are catalog/pragma
+# joins, not data joins)
+_CROSS_MAX_ROWS = 1_000_000
+
+
+def _generic_cross_product(db: Database, items) -> "PlanNode":
+    """FROM item, item, ... over tables / zero-arg table functions:
+    eager cross product with columns exposed under alias-qualified names
+    ("current.total_blocks") plus bare names for columns unique across
+    the sources. The reclaim test reads pragma_database_size() against
+    saved snapshot tables this way."""
+    from vss_tpu.query.ir import ChunkSource
+
+    chunks: list[tuple[str, dict]] = []
+    for it in items:
+        if it[0] == "table":
+            _, name, alias = it
+            chunks.append((alias or name, dict(db.table(name).chunk())))
+        else:
+            _, name, args, alias, _cols = it
+            src = _table_function(db, name, args)
+            if not isinstance(src, ChunkSource):
+                raise BinderError(
+                    f"table function '{name}' not usable in a FROM list"
+                )
+            chunks.append((alias or name, dict(src.data)))
+    sizes = [
+        len(next(iter(c.values()))) if c else 0 for _, c in chunks
+    ]
+    total = int(np.prod(sizes)) if sizes else 0
+    if total > _CROSS_MAX_ROWS:
+        raise BinderError(
+            f"cross product too large ({total} rows)"
+        )
+    bare_counts: dict[str, int] = {}
+    for _, c in chunks:
+        for col in c:
+            bare_counts[col] = bare_counts.get(col, 0) + 1
+    data: dict[str, np.ndarray] = {}
+    for i, (alias, c) in enumerate(chunks):
+        inner = int(np.prod(sizes[i + 1:])) if i + 1 < len(sizes) else 1
+        outer = (total // (sizes[i] * inner)) if sizes[i] else 0
+        for col, arr in c.items():
+            tiled = np.tile(np.repeat(arr, inner, axis=0),
+                            (outer,) + (1,) * (np.ndim(arr) - 1))
+            data[f"{alias}.{col}"] = tiled
+            if bare_counts[col] == 1 and not col.startswith("__"):
+                data[col] = tiled
+    return ChunkSource("cross_product", data)
+
+
 def _parse_select(p: _Parser, db: Database) -> PlanNode:
     from vss_tpu.query.ir import ChunkSource
 
@@ -564,6 +618,13 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
     if not p.accept_kw("FROM"):
         # SELECT without FROM (`SELECT setseed(0.1337)`): one dummy row
         node = ChunkSource("dual", {"__dual__": np.zeros(1, np.int64)})
+    elif p.accept_op("("):
+        # FROM (SELECT ...) [alias] — derived table (the slow lateral
+        # file wraps its grouped lateral join in `SELECT count(*) FROM
+        # (...)`) ; must be the only FROM item
+        node = _parse_select(p, db)
+        p.expect_op(")")
+        _maybe_alias(p)
     else:
         first = _parse_from_item(p)
         rest = []
@@ -607,6 +668,15 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
                 db, src, args[0], args[1], args[2], int(args[3]), *args[4:]
             )
             node = ChunkSource("vss_match", data)
+        elif all(
+            it[0] == "table"
+            or (it[0] == "func" and it[1] in _CROSSABLE_TABLE_FNS)
+            for it in (first, *rest)
+        ):
+            # small cross products of tables / zero-arg table functions
+            # with alias-qualified columns: the reclaim test's
+            # `FROM pragma_database_size() AS current, blocks_idx`
+            node = _generic_cross_product(db, [first, *rest])
         else:
             raise BinderError(
                 "unsupported FROM list (supported: table [, LATERAL (...)], "
@@ -616,11 +686,17 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
         node = Filter(node, p.expr())
     group_keys: list[str] = []
     having = None
+    def _qual_ident():
+        nm = p.ident()
+        while p.accept_op("."):
+            nm += "." + p.ident()
+        return nm
+
     if p.accept_kw("GROUP"):
         p.expect_kw("BY")
-        group_keys.append(p.ident())
+        group_keys.append(_qual_ident())
         while p.accept_op(","):
-            group_keys.append(p.ident())
+            group_keys.append(_qual_ident())
         if p.accept_kw("HAVING"):
             # evaluated over the aggregated chunk: references group keys
             # and aggregate aliases (e.g. HAVING cnt > 2)
@@ -663,7 +739,8 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             return Projection(agg, {name: wrapped})
 
     # aggregates: count(*)/count/sum/min/max/avg/list, optionally GROUP BY
-    _AGGS = ("count", "sum", "min", "max", "avg", "list", "bool_and")
+    _AGGS = ("count", "sum", "min", "max", "avg", "list", "bool_and",
+             "any_value")
 
     def _is_agg(e):
         return e is not None and isinstance(e, Func) and e.name in _AGGS
@@ -688,6 +765,19 @@ def _parse_select(p: _Parser, db: Database) -> PlanNode:
             a or (e.name.split(".")[-1] if isinstance(e, ColumnRef) else str(e))
             for a, e in non_aggs
         ]
+        # `GROUP BY queries.id` with `SELECT queries.id AS id`: normalize
+        # qualified group keys to the select item's output name when the
+        # item's expression is that column (the slow lateral file's form)
+        for gi, gk in enumerate(group_keys):
+            if gk in names:
+                continue
+            for out_name, (a, e) in zip(names, non_aggs):
+                if isinstance(e, ColumnRef) and (
+                    e.name == gk
+                    or e.name.split(".")[-1] == gk.split(".")[-1]
+                ):
+                    group_keys[gi] = out_name
+                    break
         bad = [c for c in names if c not in group_keys]
         if bad:
             raise BinderError(
@@ -790,6 +880,12 @@ def _table_function(db: Database, name: str, args: list):
             else {}
         )
         return ChunkSource("pragma_hnsw_index_info()", data)
+    if name == "pragma_database_size":
+        if args:
+            raise BinderError("pragma_database_size takes no arguments")
+        size = db.database_size()
+        data = {k: np.asarray([v]) for k, v in size.items()}
+        return ChunkSource("pragma_database_size()", data)
     if name == "vss_join":
         from vss_tpu.query.macros import vss_join
 
@@ -896,6 +992,20 @@ def _execute_one(db: Database, text: str):
         what = p.ident().upper()
         if what == "TABLE":
             name = p.ident()
+            if p.accept_kw("AS"):
+                # CREATE TABLE name AS SELECT ... (the reclaim test's
+                # data generator and snapshot tables)
+                plan = _parse_select(p, db)
+                from vss_tpu.query.exec import run_plan
+                from vss_tpu.query.rewrite import optimize
+
+                chunk = run_plan(db, optimize(db, plan))
+                cols = {
+                    k: np.asarray(v) for k, v in chunk.items()
+                    if not k.startswith("__") and "." not in k
+                }
+                db.create_table(name, cols)
+                return None
             p.expect_op("(")
             cols: dict[str, np.ndarray] = {}
             while True:

@@ -340,9 +340,20 @@ class Database:
         self._wal = None
         self._replaying = False
 
+    # single-file block-structured store suffixes: .vssdb is ours; .db
+    # matches the reference tests' `load __TEST_DIR__/x.db` paths (a
+    # DuckDB database file — the analog of one block-managed file, which
+    # is also the only storage whose block reclaim is observable via
+    # pragma_database_size, hnsw_reclaim_storage.test_slow)
+    _BLOCKFILE_SUFFIXES = (".vssdb", ".db")
+
+    @classmethod
+    def _is_blockfile_path(cls, path: Optional[str]) -> bool:
+        return path is not None and path.endswith(cls._BLOCKFILE_SUFFIXES)
+
     @staticmethod
     def _wal_path_for(path: str) -> str:
-        if path.endswith(".vssdb"):
+        if Database._is_blockfile_path(path):
             return path + ".wal"
         return os.path.join(path, "wal.jsonl")
 
@@ -635,7 +646,9 @@ class Database:
         path = path or self.path
         if path is None:
             raise BinderError("no checkpoint path given for in-memory database")
-        if path.endswith(".vssdb"):
+        from vss_tpu.storage.blockfile import blockstore_available
+
+        if self._is_blockfile_path(path) and blockstore_available():
             self._checkpoint_blockstore(path)
             self.path = path
             if self._wal is not None:
@@ -666,6 +679,37 @@ class Database:
         self.path = path
         if self._wal is not None:
             self._wal.truncate()
+
+    def database_size(self) -> dict:
+        """Block-level storage accounting — the `pragma_database_size()`
+        surface the reference's reclaim test reads (total_blocks /
+        used_blocks over the block-managed file). Directory checkpoints
+        and in-memory databases report zero blocks (DuckDB's in-memory
+        database does the same)."""
+        from vss_tpu.storage.blockfile import BlockStore, blockstore_available
+
+        out = {
+            "database_size": 0, "block_size": 0,
+            "total_blocks": 0, "used_blocks": 0, "free_blocks": 0,
+            "wal_size": 0, "memory_usage": 0, "memory_limit": 0,
+        }
+        p = self.path
+        if (
+            p is not None and self._is_blockfile_path(p)
+            and os.path.isfile(p) and blockstore_available()
+        ):
+            with BlockStore(p) as bs:
+                total = bs.total_blocks
+                free = bs.free_blocks
+                out.update(
+                    database_size=os.path.getsize(p),
+                    block_size=bs.block_size
+                    if hasattr(bs, "block_size") else 0,
+                    total_blocks=total,
+                    used_blocks=total - free,
+                    free_blocks=free,
+                )
+        return out
 
     def _checkpoint_blockstore(self, path: str):
         import io
@@ -782,7 +826,7 @@ class Database:
     def open(cls, path: str) -> "Database":
         from vss_tpu.storage.serialize import load_index
 
-        if path.endswith(".vssdb"):
+        if cls._is_blockfile_path(path) and os.path.isfile(path):
             db = cls._open_blockstore(path)
             db._replay_wal()
             return db

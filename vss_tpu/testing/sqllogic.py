@@ -133,7 +133,7 @@ class SQLLogicRunner:
         path = raw_path.replace("__TEST_DIR__", self.test_dir)
         self.db_path = path
         if os.path.exists(os.path.join(path, "catalog.json")) or (
-            path.endswith(".vssdb") and os.path.exists(path)
+            Database._is_blockfile_path(path) and os.path.isfile(path)
         ):
             self.db = Database.open(path)
         else:
@@ -173,9 +173,17 @@ class SQLLogicRunner:
         ]
 
     # ---------------------------------------------------------- directives
-    def run_file(self, path: str) -> FileResult:
+    def run_file(
+        self, path: str, substitutions: Optional[dict] = None
+    ) -> FileResult:
         with open(path) as f:
-            lines = f.read().splitlines()
+            text = f.read()
+        # scaled-down runs: literal token substitution BEFORE parsing
+        # (e.g. {"range(1000000)": "range(20000)"} shrinks the reclaim
+        # file's corpus; every use is recorded in the test that asks)
+        for old, new in (substitutions or {}).items():
+            text = text.replace(old, new)
+        lines = _expand_loops(text.splitlines())
         out = FileResult(path=path, records=[])
         i = 0
         N = len(lines)
@@ -393,9 +401,44 @@ class SQLLogicRunner:
         return True, ""
 
 
+def _expand_loops(lines: list) -> list:
+    """sqllogictest `loop var start end` / `endloop`: splice the body
+    once per iteration with `${var}` substituted; end is exclusive
+    (DuckDB's runner semantics). Supports nesting via recursion."""
+    out: list = []
+    i = 0
+    N = len(lines)
+    while i < N:
+        head = lines[i].strip().split()
+        if head[:1] == ["loop"] and len(head) == 4:
+            var, lo, hi = head[1], int(head[2]), int(head[3])
+            depth = 1
+            j = i + 1
+            while j < N:
+                h2 = lines[j].strip().split()
+                if h2[:1] == ["loop"]:
+                    depth += 1
+                elif h2[:1] == ["endloop"]:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError("unterminated loop in sqllogic file")
+            body = _expand_loops(lines[i + 1:j])
+            for it in range(lo, hi):
+                out.extend(l.replace("${" + var + "}", str(it)) for l in body)
+            i = j + 1
+            continue
+        out.append(lines[i])
+        i += 1
+    return out
+
+
 def run_sqllogic_file(
-    path: str, test_dir: str, skip_inline_labels: tuple = ()
+    path: str, test_dir: str, skip_inline_labels: tuple = (),
+    substitutions: Optional[dict] = None,
 ) -> FileResult:
     return SQLLogicRunner(
         test_dir, skip_inline_labels=skip_inline_labels
-    ).run_file(path)
+    ).run_file(path, substitutions=substitutions)
