@@ -31,14 +31,20 @@ from vss_tpu.parallel.sharded import ShardedHNSWIndex
 rng = np.random.default_rng(0)  # same data on every process (SPMD)
 vecs = rng.standard_normal((256, 8)).astype(np.float32)
 cfg = HNSWConfig(dims=8, m=8, ef_construction=48)
-idx = ShardedHNSWIndex.build(vecs, cfg, mesh, wave_size=64)
+# the exact MXU path now runs on multi-process meshes too (round-4):
+# each process repairs its addressable shards, then the global stacked
+# graph reassembles from process-local data
+idx = ShardedHNSWIndex.build(vecs, cfg, mesh, method="exact")
 d, rows = idx.search(vecs[:8], k=3)
+widx = ShardedHNSWIndex.build(vecs, cfg, mesh, wave_size=64, method="wave")
+_, wrows = widx.search(vecs[:8], k=3)
 out = {
     "process": jax.process_index(),
     "n_devices": len(jax.devices()),
     "n_local": len(jax.local_devices()),
     "rows": np.asarray(rows).tolist(),
     "self_hit": int((np.asarray(rows)[:, 0] == np.arange(8)).sum()),
+    "wave_self_hit": int((np.asarray(wrows)[:, 0] == np.arange(8)).sum()),
 }
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -80,6 +86,8 @@ def test_two_process_distributed_build_and_search(tmp_path):
         assert r["n_devices"] == 4 and r["n_local"] == 2
         # searching for indexed vectors finds them (merged across processes)
         assert r["self_hit"] >= 7
+        # the exact path matches the wave path's quality bar
+        assert r["self_hit"] >= r["wave_self_hit"] - 1
     # replicated outputs agree bit-for-bit across processes
     assert results[0]["rows"] == results[1]["rows"]
 

@@ -142,11 +142,11 @@ class ShardedHNSWIndex:
         construction under shard_map.
 
         method: 'exact' — the SPMD port of the MXU bulk builder (each
-        pass one program over all shards, `parallel/sharded_build.py`);
-        'wave' — lock-step wave insertion (the round-2 path, still used
-        by insert()); 'auto' — exact on single-process meshes, wave on
-        multi-process ones (the exact path's repair tail slices per-shard
-        graphs to the host, which needs fully-addressable arrays)."""
+        pass one program over all shards, `parallel/sharded_build.py`;
+        multi-process meshes repair per process over their addressable
+        shards); 'wave' — lock-step wave insertion (the round-2 path,
+        still used by insert()); 'auto' — exact whenever shards have
+        enough rows."""
         self = cls(config, mesh)
         S = self.n_shards
         vectors = np.asarray(vectors, np.float32)
@@ -159,8 +159,7 @@ class ShardedHNSWIndex:
         check_rowids_int32(rowids)
         efc = efc or config.ef_construction
         if method == "auto":
-            single_proc = jax.process_count() == 1
-            method = "exact" if (single_proc and n >= 4 * S) else "wave"
+            method = "exact" if n >= 4 * S else "wave"
         if method == "exact":
             from vss_tpu.parallel.sharded_build import build_exact_sharded
 
