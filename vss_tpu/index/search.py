@@ -374,25 +374,31 @@ def beam_search_base(
             neigh = _dedupe_across_groups(neigh, E, m0)
         if group_tape is not None and base:
             # group-fetch: one DMA descriptor moves G transpose-packed
-            # rows (>= 512B, 128-lane aligned) and yields G candidates —
-            # the round-3 answer to the per-row descriptor-issue ceiling
-            # at d=128 int8 (see ops/gather.pack_group_table). The G-1
-            # slot-adjacent extras are real scored rows (exact distances)
-            # that widen the pool for free after layout clustering.
-            from vss_tpu.ops.gather import (
-                group_candidate_ids,
-                group_distances_pallas,
-            )
+            # rows (>= 512B, 128-lane aligned); at d=128 int8 that is 1
+            # descriptor per G=4 candidates instead of 4 — the round-3
+            # answer to the per-row descriptor-issue ceiling (see
+            # ops/gather.pack_group_table). Round 3 admitted all G rows
+            # into the pool, which 4x'd the merge width and total evals
+            # and LOST 3.1x to plain take; round 4 keeps the DMA saving
+            # but admits ONLY the requested candidates — the extras are
+            # scored in-kernel (data is resident anyway) and dropped, so
+            # pool width, dedupe, and eval count match the plain path.
+            from vss_tpu.ops.gather import group_distances_pallas
 
-            groups = jnp.where(neigh >= 0, neigh // group, -1)
-            groups = _dedupe_keep_first(groups)
-            nd, _ = group_distances_pallas(
+            g_of = jnp.where(neigh >= 0, neigh // group, -1)
+            groups = _dedupe_keep_first(g_of)
+            nd_all, _ = group_distances_pallas(
                 group_tape, groups, q, config.metric, q_norms, group=group
             )
-            neigh = group_candidate_ids(groups, group)  # [B, G*E*m0]
-            # the expansion resurrects ids already masked as known dups
-            dup2 = (neigh[:, :, None] == known[:, None, :]).any(axis=2)
-            neigh = jnp.where(dup2, -1, neigh)
+            # route each requested candidate to its lane: the kernel's
+            # output is PLANE-major — group slot j, offset r lands at
+            # position r*Cg + j (gather.group_distances_pallas contract)
+            gsafe = jnp.where(groups >= 0, groups, -2)
+            match = g_of[:, :, None] == gsafe[:, None, :]  # [B, W, W]
+            gidx = jnp.argmax(match, axis=2).astype(jnp.int32)
+            Cg = groups.shape[1]
+            pos = (jnp.maximum(neigh, 0) % group) * Cg + gidx
+            nd = jnp.take_along_axis(nd_all, pos, axis=1)
             nd = jnp.where(neigh >= 0, nd, _INF)
         elif fused:
             # fused Pallas gather+score: sentinel ids (dups, padding,
