@@ -696,11 +696,15 @@ def main():
     # parseable stdout line always reflects everything measured so far.
     emit(out)
 
-    def run_arm(name, a_vecs, a_queries, a_metric, ef0, deadline=None):
+    def run_arm(name, a_vecs, a_queries, a_metric, ef0, deadline=None,
+                m=None, ladder=(128, 192)):
         """One full config: GT -> build -> ef ladder -> scan A/B.
         Same slope-timed in-graph methodology as the flagship. `deadline`
         (absolute time.time()) bounds the arm: blown mid-phase, the arm
-        returns whatever it has measured with a 'truncated' marker."""
+        returns whatever it has measured with a 'truncated' marker.
+        `m`/`ladder` override connectivity and the ef escalation steps
+        (the iid arm needs m=32 + deep ef: flat data shifts the whole
+        recall-vs-ef curve right — see benchmarks/iid_ladder.py)."""
         from vss_tpu.index import HNSWConfig
         from vss_tpu.index.dense import HNSWIndex as _HI
         from vss_tpu.ops.scan import native_scan_supported, scan_topk
@@ -712,6 +716,8 @@ def main():
         an, ad = a_vecs.shape
         block = {"n": an, "d": ad, "metric": a_metric, "k": K,
                  "storage": STORAGE}
+        if m is not None:
+            block["m"] = m
         a_qb = min(QBATCH, a_queries.shape[0])
         anq = a_queries.shape[0] // a_qb * a_qb
         anb = anq // a_qb
@@ -728,7 +734,8 @@ def main():
             _check("ground_truth")
 
             acfg = HNSWConfig(dims=ad, metric=a_metric, ef_search=ef0,
-                              storage_dtype=STORAGE, rerank=RERANK)
+                              storage_dtype=STORAGE, rerank=RERANK,
+                              **({"m": m} if m is not None else {}))
             t0a = time.perf_counter()
 
             def _prog(done, n):
@@ -821,7 +828,7 @@ def main():
                 f"recall@{K}={a_rec:.4f}")
             block.update(graph_qps=round(a_qps, 1),
                          graph_recall=round(a_rec, 4), graph_ef=a_ef)
-            for ef_try in (128, 192):
+            for ef_try in ladder:
                 if a_rec >= RECALL_TARGET or ef_try <= a_ef:
                     break
                 _check(f"ladder ef={ef_try}")
@@ -950,8 +957,13 @@ def main():
                 iid_v = rng_i.standard_normal((N, D)).astype(np.float32) * 50.0
                 iid_q = rng_i.standard_normal(
                     (2 * QBATCH, D)).astype(np.float32) * 50.0
+                # m=32 + deep ef ladder: flat data needs double the
+                # degree and far more beam width (iid_ladder: at 100k
+                # m=16 reaches 0.92 only at ef=512; m=32 hits 0.93 at
+                # ef=256); candidates are exact via the scan pass
                 out["iid"] = run_arm("iid", iid_v, iid_q, METRIC, EF,
-                                     deadline=dl)
+                                     deadline=dl, m=32,
+                                     ladder=(128, 256, 384, 512))
                 del iid_v, iid_q
             except Exception as e:
                 log(f"[bench:iid] arm failed: {e}")

@@ -124,4 +124,8 @@ if "nnd" in which:
     run("ivf+nnd", "ivf", 16, True)
 if "nnd32" in which:
     run("ivf+nnd", "ivf", 32, True)
+if "scan16" in which:
+    run("scan", "scan", 16, False)
+if "scan32" in which:
+    run("scan", "scan", 32, False)
 print("[ladder] done", file=sys.stderr, flush=True)

@@ -197,3 +197,62 @@ def test_ivf_score_groups_bf16_arm(rng):
         for a, b in zip(np.asarray(i32_), np.asarray(i16_))
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_scan_candidates_matches_exact_knn():
+    """The storage-native candidate pass (round-4 'scan' mode) must
+    reproduce exact_knn's lists: same ids (self excluded), ascending
+    exact distances. On CPU scan_topk falls back to the bruteforce
+    oracle, so this pins the contract (batching, self-masking, -1s);
+    the TPU kernel path is A/B'd by benchmarks/iid_ladder.py."""
+    import jax.numpy as jnp
+
+    from vss_tpu.index.exact_build import exact_knn, scan_candidates
+
+    rng = np.random.default_rng(3)
+    n, d, C = 3000, 24, 16
+    xv = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    ed, ei = exact_knn(xv, ids, C, "l2sq", fast_matmul=False)
+    sd, si = scan_candidates(
+        xv, xv, jnp.ones((n,), jnp.bool_),
+        jnp.sum(xv * xv, axis=1), C + 1, "l2sq", batch=1024,
+    )
+    ed, ei = np.asarray(ed), np.asarray(ei)
+    sd, si = np.asarray(sd), np.asarray(si)
+    # scan requested C+1 (self occupies one slot); drop self/-1 and
+    # compare the first C survivors per row
+    for r in range(0, n, 197):
+        live = si[r][si[r] >= 0][:C]
+        np.testing.assert_array_equal(live, ei[r][:C])
+    # distances ascending within finite prefix
+    f = np.where(si >= 0, sd, np.inf)
+    srt = np.sort(f, axis=1)
+    np.testing.assert_allclose(np.sort(f, axis=1)[:, :C], srt[:, :C])
+
+
+def test_build_graph_exact_scan_mode_cpu_fallback(monkeypatch):
+    """VSS_CAND_MODE=scan end-to-end on CPU (oracle fallback): search
+    recall matches the exact mode within noise."""
+    import jax.numpy as jnp
+
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.index.dense import HNSWIndex
+    from vss_tpu.ops import bruteforce_topk
+
+    rng = np.random.default_rng(4)
+    n, d, k = 4000, 24, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((48, d)).astype(np.float32)
+    gt = np.asarray(
+        bruteforce_topk(jnp.asarray(q), jnp.asarray(vecs), k, "l2sq")[1]
+    )
+    monkeypatch.setenv("VSS_CAND_MODE", "scan")
+    idx = HNSWIndex.build(vecs, HNSWConfig(dims=d), method="exact")
+    _, rows = idx.search(q, k=k, ef=96)
+    rows = np.asarray(rows)
+    hits = sum(
+        len(set(a[a >= 0].tolist()) & set(b.tolist()))
+        for a, b in zip(rows, gt)
+    )
+    assert hits / (48 * k) >= 0.9

@@ -478,11 +478,68 @@ def _backlink_pass(
     return dataclasses.replace(graph, upper_adj=adj)
 
 
-# past this row count 'auto' switches the base-layer candidate pass from
-# exact n^2 kNN to IVF-window blocking (index/ivf_candidates.py): the
-# exact pass's top-C selection width scales with n and dominates the 1M
-# build profile
+# past this row count 'auto' switches the base-layer candidate pass off
+# the n^2 _knn_all sweep: its top-C selection width scales with n and
+# dominates the 1M build profile. On TPU the replacement is the
+# storage-native segmin scan ('scan' mode below — EXACT lists, ~30x
+# cheaper selection); off-TPU it is IVF-window blocking
+# (index/ivf_candidates.py, approximate and locality-dependent).
 _IVF_AUTO_MIN_N = 131_072
+
+
+def scan_candidates(
+    xv: jax.Array,          # [n, d] f32 queries (scaled units)
+    tape: jax.Array,        # [cap, d] stored tape (int8/bf16/f32)
+    valid: jax.Array,       # [cap] bool
+    x_norms: jax.Array,     # [cap] f32 squared norms of stored values
+    C: int,
+    metric,
+    *,
+    batch: int = 8192,
+    progress: Optional[Callable[[int, int], None]] = None,
+):
+    """EXACT top-C candidate lists for every row via the serving scan
+    (`ops/scan.scan_topk`): segment-minima winnow + block rescore + f32
+    rerank. Distribution-agnostic by construction — the round-4 answer
+    to the IVF pass's iid collapse (recall@10 = 0.095 at 1M x 128) — and
+    ~30x cheaper in selection than `_knn_all`'s sort-merge at 1M.
+
+    Returns (dists [n, C] ascending f32 — exact w.r.t. `xv` —, ids
+    [n, C] i32 slot ids, self excluded as -1). k is capped at
+    SCAN_K_MAX; callers size C accordingly.
+    """
+    from vss_tpu.ops.scan import SCAN_K_MAX, scan_topk
+
+    metric = Metric.parse(metric)
+    n, d = xv.shape
+    C = min(C, SCAN_K_MAX, max(n - 1, 1))
+    parts_d, parts_i = [], []
+    lag = 3
+    ends = []
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        q = xv[s:e]
+        if e - s < batch:
+            q = jnp.pad(q, ((0, batch - (e - s)), (0, 0)))
+        bd, bi = scan_topk(
+            q, tape, C, metric, valid_mask=valid, x_norms=x_norms,
+            rerank_tape=xv,
+        )
+        # drop self-matches (each row is its own nearest): refine
+        # downstream treats interior -1s as absent
+        self_ids = s + jnp.arange(batch, dtype=jnp.int32)
+        bi = jnp.where(bi == self_ids[:, None], -1, bi)
+        parts_d.append(bd[: e - s])
+        parts_i.append(bi[: e - s])
+        ends.append(e)
+        if progress is not None and len(parts_i) > lag:
+            jax.block_until_ready(parts_i[-1 - lag])
+            progress(ends[-1 - lag], n)
+    out_d = jnp.concatenate(parts_d)
+    out_i = jnp.concatenate(parts_i)
+    if progress is not None:
+        progress(n, n)
+    return out_d, jnp.where(out_i >= 0, out_i, -1)
 
 
 def build_graph_exact(
@@ -574,10 +631,25 @@ def build_graph_exact(
             progress(min(done_units[0] + done // 2, total_units), total_units)
 
     # ---- base layer
+    from vss_tpu.ops.scan import native_scan_supported
+    from vss_tpu.utils import use_pallas
+
     mode = os.environ.get("VSS_CAND_MODE", candidate_mode)
     if mode == "auto":
-        mode = "ivf" if n >= _IVF_AUTO_MIN_N else "exact"
-    if mode == "ivf":
+        if n < _IVF_AUTO_MIN_N:
+            mode = "exact"
+        elif use_pallas() and native_scan_supported(graph.vectors.dtype):
+            mode = "scan"
+        else:
+            mode = "ivf"
+    if mode == "scan":
+        tape_n = graph.vectors[:n]
+        tape_norms = jnp.sum(tape_f32[:n] * tape_f32[:n], axis=1)
+        cand_d, cand_i = scan_candidates(
+            xv, tape_n, jnp.ones((n,), jnp.bool_), tape_norms,
+            min(C0, 64), config.metric, progress=knn_prog,
+        )
+    elif mode == "ivf":
         from vss_tpu.index.ivf_candidates import ivf_candidates
 
         cand_d, cand_i = ivf_candidates(

@@ -41,9 +41,17 @@ from vss_tpu.ops.distance import Metric, _epilogue
 from vss_tpu.ops.topk import _ITER_K_MAX, _SEG, _iter_min_k
 from vss_tpu.utils import pad_to, round_up
 
-__all__ = ["scan_topk", "native_scan_supported"]
+__all__ = ["scan_topk", "native_scan_supported", "SCAN_K_MAX"]
 
 _INF = float("inf")
+
+# widest k the native path serves. Above _ITER_K_MAX (32) the selection
+# steps fall back from the iterative min-k to lax.top_k (already wired
+# in _native_segmin_scan / _rescore_native_block); the phase-B rescore
+# block scales as keep = max(2k, k+6) segments and stays VMEM-bounded by
+# the per-chunk query limit. 64 covers the bulk builder's candidate
+# lists (C = m0) — the serving path keeps using small k.
+SCAN_K_MAX = 64
 
 
 def native_scan_supported(dtype) -> bool:
@@ -252,7 +260,7 @@ def scan_topk(
     nq, d0 = q.shape
     nx = tape.shape[0]
     if not (use_pallas() and native_scan_supported(tape.dtype)
-            and nx > 16 * _SEG and k <= _ITER_K_MAX):
+            and nx > 16 * _SEG and k <= SCAN_K_MAX):
         from vss_tpu.ops.topk import bruteforce_topk
 
         # fallback scores the f32 side tape when one exists (exact
