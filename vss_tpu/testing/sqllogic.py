@@ -86,7 +86,7 @@ def _render_cell(v) -> str:
 _BOOL_SYNONYMS = {"true": "1", "t": "1", "false": "0", "f": "0"}
 
 
-def _cells_match(exp: str, act: str) -> bool:
+def _cells_match(exp: str, act: str, strict_list_order: bool = False) -> bool:
     exp, act = exp.strip(), act.strip()
     if exp.startswith("<REGEX>:"):
         return re.search(exp[len("<REGEX>:"):], act, re.S) is not None
@@ -106,16 +106,27 @@ def _cells_match(exp: str, act: str) -> bool:
         pass
     if a == b:
         return True
-    # List-valued cells compare as multisets: DuckDB's `list()` aggregate
-    # order is unspecified SQL, and the reference's expected blocks pin
-    # DuckDB's incidental emission order (hnsw_lateral_join.test:73-78
-    # records reverse-rank order from its decorrelated window plan). Row
-    # membership is still exact; only intra-list order is normalized.
+    # List-valued cells: ORDERED elementwise comparison first (so a
+    # genuinely-ordered list assertion is honored), multiset only as a
+    # fallback — DuckDB's `list()` aggregate order is unspecified SQL,
+    # and the reference's expected blocks pin DuckDB's incidental
+    # emission order (hnsw_lateral_join.test:73-78 records reverse-rank
+    # order from its decorrelated window plan). Row membership is still
+    # exact; only intra-list order is normalized, and only when the
+    # ordered compare already failed.
     if exp.startswith("[") and exp.endswith("]") and act.startswith("[") and act.endswith("]"):
-        ea = sorted(x.strip() for x in exp[1:-1].split(","))
-        aa = sorted(x.strip() for x in act[1:-1].split(","))
-        return len(ea) == len(aa) and all(
-            _cells_match(e, v) for e, v in zip(ea, aa)
+        ea = [x.strip() for x in exp[1:-1].split(",")]
+        aa = [x.strip() for x in act[1:-1].split(",")]
+        if len(ea) != len(aa):
+            return False
+        if all(_cells_match(e, v) for e, v in zip(ea, aa)):
+            return True
+        if strict_list_order:
+            # the query's own list(x ORDER BY ...) specifies the order;
+            # an order mismatch here is a REAL failure
+            return False
+        return all(
+            _cells_match(e, v) for e, v in zip(sorted(ea), sorted(aa))
         )
     return False
 
@@ -350,7 +361,12 @@ class SQLLogicRunner:
                     exp = sorted(
                         v for r in exp for v in r.split("\t")
                     )
-                ok, detail = self._compare(exp, act)
+                strict = bool(
+                    re.search(r"list\s*\([^)]*ORDER\s+BY", sql, re.I)
+                )
+                ok, detail = self._compare(
+                    exp, act, strict_list_order=strict
+                )
                 if not ok:
                     return RecordResult("query", line, sql, False, detail=detail)
         if label is not None:
@@ -382,7 +398,7 @@ class SQLLogicRunner:
         return expected_lines
 
     @staticmethod
-    def _compare(exp_rows, act_rows, lenient=True):
+    def _compare(exp_rows, act_rows, lenient=True, strict_list_order=False):
         if len(exp_rows) != len(act_rows):
             return False, (
                 f"row count: expected {len(exp_rows)}, got {len(act_rows)} "
@@ -393,8 +409,10 @@ class SQLLogicRunner:
             if len(ec) != len(ac):
                 return False, f"column count in row: {e_row!r} vs {a_row!r}"
             for e, a in zip(ec, ac):
-                match = _cells_match(e, a) if lenient else (
-                    e == a or _cells_match(e, a)
+                match = (
+                    _cells_match(e, a, strict_list_order)
+                    if lenient
+                    else (e == a or _cells_match(e, a, strict_list_order))
                 )
                 if not match:
                     return False, f"cell mismatch: expected {e!r}, got {a!r}"
