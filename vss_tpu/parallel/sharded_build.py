@@ -230,7 +230,12 @@ def build_exact_sharded(
         w = eager_chunk
         qc = np.zeros((S, w, d), np.float32)
         ic = np.full((S, w), -2, np.int32)
-        qc[:, : e - s0] = x_np[:, s0:e]
+        # x_np is padded to round_up(Pmax, tile) which can be SMALLER
+        # than nq_pad = round_up(Pmax, block); rows past it are query
+        # padding (id -2) and contribute nothing
+        ex = min(e, x_np.shape[1])
+        if ex > s0:
+            qc[:, : ex - s0] = x_np[:, s0:ex]
         ic[:, : e - s0] = ids_np[:, s0:e]
         od, oi = knn_fn(put(qc), put(ic), x_stack, xv_stack)
         parts_d.append(od[:, : e - s0])

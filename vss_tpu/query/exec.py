@@ -522,11 +522,12 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         return _exec_lateral_indexed(db, node, run)
 
     if isinstance(node, KNNJoin):
-        # brute-force fallback join (no usable index)
+        # exact join: via the index tape's batched scan when the planner
+        # routed it (EXACT_SCAN_JOIN — one tape stream amortized over
+        # the whole outer batch), else the f32 table-column fallback
         left = run(node.left)
         t = db.table(node.right_table)
         queries = np.asarray(node.left_vector.evaluate(left), np.float32)
-        vecs, valid = t.device_column(node.right_column)
         fdef = resolve_function(node.metric_function)
         nL = queries.shape[0]
         if nL == 0:
@@ -537,16 +538,30 @@ def _run_plan_inner(db: Database, node: PlanNode, run) -> dict[str, np.ndarray]:
         Bp = _bucket(nL)
         qp = np.zeros((Bp, queries.shape[1]), np.float32)
         qp[:nL] = np.nan_to_num(queries)
-        d, slots = bruteforce_topk(
-            jnp.asarray(qp), vecs, node.k, fdef.index_metric, valid_mask=valid
-        )
-        slots = np.asarray(slots)[:nL]
-        slots = np.where(np.isnan(queries).any(1)[:, None], -1, slots)
-        valid_m = slots >= 0
-        counts = valid_m.sum(1)
-        left_sel = np.repeat(np.arange(nL), counts)
-        flat_slots = slots[valid_m]
-        rows = t.rowids[flat_slots]
+        if node.via_index is not None:
+            entry = db.indexes[node.via_index]
+            _, rows_all = entry.index.scan_search(qp, node.k)
+            rows_all = np.asarray(rows_all)[:nL]
+            rows_all = np.where(
+                np.isnan(queries).any(1)[:, None], -1, rows_all
+            )
+            valid_m = rows_all >= 0
+            counts = valid_m.sum(1)
+            left_sel = np.repeat(np.arange(nL), counts)
+            rows = rows_all[valid_m]
+        else:
+            vecs, valid = t.device_column(node.right_column)
+            d, slots = bruteforce_topk(
+                jnp.asarray(qp), vecs, node.k, fdef.index_metric,
+                valid_mask=valid,
+            )
+            slots = np.asarray(slots)[:nL]
+            slots = np.where(np.isnan(queries).any(1)[:, None], -1, slots)
+            valid_m = slots >= 0
+            counts = valid_m.sum(1)
+            left_sel = np.repeat(np.arange(nL), counts)
+            flat_slots = slots[valid_m]
+            rows = t.rowids[flat_slots]
         ranks = np.concatenate([np.arange(1, c + 1) for c in counts]) if nL else []
         out = {f"l_{c}": v[left_sel] for c, v in left.items()}
         inner = t.fetch(rows)

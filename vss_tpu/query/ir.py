@@ -308,11 +308,20 @@ class KNNJoin(PlanNode):
     right_column: str
     k: int
     metric_function: str = "array_distance"
+    # set by the hybrid planner: serve the exact join from this index's
+    # tape (storage-native batched scan) instead of the f32 table column
+    via_index: Optional[str] = None
 
     def children(self):
         return (self.left,)
 
     def label(self):
+        if self.via_index is not None:
+            return (
+                f"EXACT_SCAN_JOIN({self.right_table}.{self.right_column}, "
+                f"index={self.via_index}, k={self.k}, "
+                f"{self.metric_function})"
+            )
         return (
             f"KNN_JOIN({self.right_table}.{self.right_column}, k={self.k}, "
             f"{self.metric_function})"

@@ -421,6 +421,8 @@ def _rewrite_lateral(db: Database, node) -> Optional[PlanNode]:
 
 
 def _rewrite_knn_join(db: Database, node: KNNJoin) -> Optional[PlanNode]:
+    if node.via_index is not None:  # already planner-routed
+        return None
     if not (0 < node.k < MAX_K):
         return None
     fdef = resolve_function(node.metric_function)
@@ -440,6 +442,12 @@ def _rewrite_knn_join(db: Database, node: KNNJoin) -> Optional[PlanNode]:
     if peeled is not None and _cost_prefers_exact(
         db, entry, t.num_rows, db.table(peeled[1].table).num_rows, node.k
     ):
+        if _scan_via_index(entry):
+            # batched exact join from the index tape — the scan path's
+            # best regime (one tape stream amortized over the batch)
+            return dataclasses.replace(
+                node, left=optimize(db, node.left), via_index=entry.name
+            )
         return None
     return HNSWIndexJoinNode(
         optimize(db, node.left), node.right_table, entry.name,
@@ -535,14 +543,7 @@ def _optimize_node(db: Database, node: PlanNode) -> PlanNode:
         repl = _rewrite_knn_join(db, node)
         if repl is not None:
             return repl
-        return KNNJoin(
-            _optimize_node(db, node.left),
-            node.right_table,
-            node.left_vector,
-            node.right_column,
-            node.k,
-            node.metric_function,
-        )
+        return dataclasses.replace(node, left=_optimize_node(db, node.left))
     from vss_tpu.query.ir import Extend as _Extend
     from vss_tpu.query.ir import LateralJoin as _LateralJoin
 
