@@ -621,6 +621,62 @@ def main():
         log(f"[bench] cost model predicted {model_path}, measured winner "
             f"is {serving_path} — refit query/cost.py constants")
 
+    # ---- SQL-path serving: the same batched workload through the FULL
+    # engine (Database -> planner -> EXACT_SCAN_JOIN -> fetch), so the
+    # headline operator is measured behind the SQL surface, not just as
+    # a raw kernel. Python/fetch overhead is the delta vs scan-serve.
+    sql_block = None
+    if (not on_cpu and os.environ.get("VSS_BENCH_SQL", "1") == "1"
+            and scan_block and "qps" in scan_block):
+        try:
+            from vss_tpu.query.api import col
+            from vss_tpu.query.table import Database, IndexEntry
+
+            dbb = Database()
+            dbb.create_table(
+                "corpus",
+                {"id": np.arange(N, dtype=np.int64), "vec": vecs},
+            )
+            dbb.indexes["bench_idx"] = IndexEntry(
+                name="bench_idx", table="corpus", column="vec", index=idx
+            )
+            dbb.create_table(
+                "qs",
+                {"qid": np.arange(QBATCH, dtype=np.int64),
+                 "vec": queries[:QBATCH]},
+            )
+            dbb.set_setting("hnsw_cost_model", True)
+            qj = (
+                dbb.query("qs")
+                .knn_join("corpus", "vec", col("vec"), K)
+                .select("row_number", qid=col("l_qid"), rid=col("r_id"))
+            )
+            plan = qj.explain()
+            _ = qj.execute()  # warm (jit + caches)
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _ = qj.execute()
+            per_q = (time.perf_counter() - t0) / reps
+            sql_block = {
+                "qps": round(QBATCH / per_q, 1),
+                "ms_per_batch": round(per_q * 1e3, 2),
+                "operator": (
+                    "EXACT_SCAN_JOIN" if "EXACT_SCAN_JOIN" in plan
+                    else plan.splitlines()[0][:60]
+                ),
+                "vs_scan_serve": round(
+                    (QBATCH / per_q) / scan_block["qps"], 3
+                ),
+            }
+            log(f"[bench] sql-serve: {sql_block['qps']:.0f} qps via "
+                f"{sql_block['operator']} "
+                f"({sql_block['vs_scan_serve']:.2f}x of raw scan-serve)")
+            del dbb
+        except Exception as e:
+            log(f"[bench] sql-serve failed: {e}")
+            sql_block = {"error": str(e)[:200]}
+
     extra = {}
     if DEL_FRAC > 0:
         n_del = int(N * DEL_FRAC)
@@ -664,6 +720,7 @@ def main():
         "gather_mode": gather_mode,
         "qps_at_recall_0_95": hi_point,
         "scan_serve": scan_block,
+        "sql_serve": sql_block,
         "fused_gather": bool(fused),
         "build_rows_per_s": round(build_rows_per_s, 1),
         "build_seconds": round(build_s, 1),

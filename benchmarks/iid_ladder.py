@@ -53,8 +53,8 @@ def _heartbeat():
     import time as _t
     while True:
         _t.sleep(30)
-        if _t.time() - _beat[0] > 420:
-            print("[ladder] no progress for 420s; exit 42",
+        if _t.time() - _beat[0] > 900:
+            print("[ladder] no progress for 900s; exit 42",
                   file=sys.stderr, flush=True)
             os._exit(42)
 
