@@ -90,7 +90,7 @@ def recall(idx, ef):
     return hits / (NQ * K)
 
 
-def run(tag, cand_mode, m, nnd):
+def run(tag, cand_mode, m, nnd, efs=(64, 128, 256, 512)):
     import time as _t
 
     os.environ["VSS_CAND_MODE"] = cand_mode
@@ -105,10 +105,10 @@ def run(tag, cand_mode, m, nnd):
     _ = float(np.asarray(idx.graph.count))
     bs = time.perf_counter() - t0
     line = f"[ladder] {tag:10s} m={m:2d} build={bs:6.1f}s "
-    for ef in (64, 128, 256, 512):
+    for ef in efs:
         line += f" ef{ef}={recall(idx, ef):.4f}"
         _beat[0] = _t.time()
-    print(line, file=sys.stderr, flush=True)
+        print(line, file=sys.stderr, flush=True)
     del idx
     jax.clear_caches()
 
@@ -128,4 +128,6 @@ if "scan16" in which:
     run("scan", "scan", 16, False)
 if "scan32" in which:
     run("scan", "scan", 32, False)
+if "scan48" in which:
+    run("scan", "scan", 48, False, efs=(256, 512, 768))
 print("[ladder] done", file=sys.stderr, flush=True)

@@ -643,11 +643,13 @@ def build_graph_exact(
         else:
             mode = "ivf"
     if mode == "scan":
+        from vss_tpu.ops.scan import SCAN_K_MAX
+
         tape_n = graph.vectors[:n]
         tape_norms = jnp.sum(tape_f32[:n] * tape_f32[:n], axis=1)
         cand_d, cand_i = scan_candidates(
             xv, tape_n, jnp.ones((n,), jnp.bool_), tape_norms,
-            min(C0, 64), config.metric, progress=knn_prog,
+            min(C0, SCAN_K_MAX), config.metric, progress=knn_prog,
         )
     elif mode == "ivf":
         from vss_tpu.index.ivf_candidates import ivf_candidates

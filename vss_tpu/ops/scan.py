@@ -49,9 +49,10 @@ _INF = float("inf")
 # steps fall back from the iterative min-k to lax.top_k (already wired
 # in _native_segmin_scan / _rescore_native_block); the phase-B rescore
 # block scales as keep = max(2k, k+6) segments and stays VMEM-bounded by
-# the per-chunk query limit. 64 covers the bulk builder's candidate
-# lists (C = m0) — the serving path keeps using small k.
-SCAN_K_MAX = 64
+# the per-chunk query limit. 128 covers the bulk builder's candidate
+# lists up to m0 = 96 (the iid arm's m=48 build); the serving path
+# keeps using small k where the kernel is fastest.
+SCAN_K_MAX = 128
 
 
 def native_scan_supported(dtype) -> bool:
