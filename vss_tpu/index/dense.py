@@ -156,10 +156,23 @@ class HNSWIndex:
         elif method == "exact":
             from vss_tpu.index.exact_build import build_graph_exact
 
-            graph, upper_used = build_graph_exact(
+            # want_rerank: the side tape comes back built from the f32
+            # device copy the builder already uploaded — a second ~0.5 GB
+            # host->device transfer through the relay cost ~38 s of the
+            # 1M warm build (the round-3 "post-build tail" regression)
+            graph, upper_used, rtape = build_graph_exact(
                 vectors, config, seed=seed,
                 rowids=rowids.astype(np.int32), progress=progress,
+                want_rerank=True,
             )
+            idx.graph = graph
+            idx.upper_used = upper_used
+            idx.next_slot = n
+            idx.rowid_to_slot = {int(r): i for i, r in enumerate(rowids)}
+            idx._insert_seed = n
+            idx.rerank_tape = rtape
+            idx.dirty = True
+            return idx
         elif method == "wave":
             graph, upper_used = build_graph_batched(
                 vectors,

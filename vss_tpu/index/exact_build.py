@@ -496,17 +496,22 @@ def scan_candidates(
     metric,
     *,
     batch: int = 8192,
+    keep_margin: int = 16,
     progress: Optional[Callable[[int, int], None]] = None,
 ):
-    """EXACT top-C candidate lists for every row via the serving scan
-    (`ops/scan.scan_topk`): segment-minima winnow + block rescore + f32
-    rerank. Distribution-agnostic by construction — the round-4 answer
-    to the IVF pass's iid collapse (recall@10 = 0.095 at 1M x 128) — and
-    ~30x cheaper in selection than `_knn_all`'s sort-merge at 1M.
+    """Near-exact top-C candidate lists for every row via the serving
+    scan (`ops/scan.scan_topk`): segment-minima winnow + block rescore +
+    f32 rerank. Distribution-agnostic by construction — the round-4
+    answer to the IVF pass's iid collapse (recall@10 = 0.095 at 1M x
+    128) — with selection ~30x cheaper than `_knn_all`'s sort-merge at
+    1M ("near": the winnow keeps C+keep_margin segments, so a tail
+    candidate can miss when > keep_margin of the true top-C share
+    crowded segments; measured list recall vs the oracle is ~1.0 and
+    refine/backlinks re-score downstream).
 
-    Returns (dists [n, C] ascending f32 — exact w.r.t. `xv` —, ids
-    [n, C] i32 slot ids, self excluded as -1). k is capped at
-    SCAN_K_MAX; callers size C accordingly.
+    Returns (dists [n, C] ascending f32 w.r.t. `xv`, ids [n, C] i32
+    slot ids, self excluded as -1). k is capped at SCAN_K_MAX; callers
+    size C accordingly.
     """
     from vss_tpu.ops.scan import SCAN_K_MAX, scan_topk
 
@@ -521,9 +526,13 @@ def scan_candidates(
         q = xv[s:e]
         if e - s < batch:
             q = jnp.pad(q, ((0, batch - (e - s)), (0, 0)))
+        # keep = C + margin (vs the serving default 2C): the pass is
+        # gather-bound on keep*128 rescore rows per query (2.1 TB at 1M
+        # with keep=2C=128) and candidate LISTS tolerate the slightly
+        # less exact tail — refine/backlinks re-score downstream
         bd, bi = scan_topk(
             q, tape, C, metric, valid_mask=valid, x_norms=x_norms,
-            rerank_tape=xv,
+            rerank_tape=xv, keep=C + keep_margin,
         )
         # drop self-matches (each row is its own nearest): refine
         # downstream treats interior -1s as absent
@@ -554,13 +563,18 @@ def build_graph_exact(
     tile: int = 65536,
     backlink_chunk: int = 4096,
     candidate_mode: str = "auto",
+    want_rerank: bool = False,
     progress: Optional[Callable[[int, int], None]] = None,
-) -> tuple[HNSWGraph, int]:
+):
     """Bulk-build an HNSW graph from exact kNN candidate lists.
 
-    Returns (graph, upper_rows_used), the same contract as
-    `build_graph_batched`. Deterministic given `seed` (level sampling is
-    the only randomness; candidate generation and refine are pure).
+    Returns (graph, upper_rows_used) — or (graph, upper_rows_used,
+    rerank_tape) with `want_rerank=True`: the full-precision rescore
+    side tape is built from the f32 device copy this function already
+    holds, so callers skip a second ~0.5 GB host->device upload through
+    the relay (measured ~38 s of the 1M warm build — the round-3 "post-
+    build tail" regression). Deterministic given `seed` (level sampling
+    is the only randomness; candidate generation and refine are pure).
 
     `candidates` is C, the exact-neighbor list length refined down to the
     degree caps (default: 2*m0 at the base layer, bounded below by m0+8).
@@ -615,6 +629,7 @@ def build_graph_exact(
         max_level=jnp.int32(int(levels.max())),
         count=jnp.int32(n),
     )
+    xv_orig = xv if want_rerank else None
     tape_f32 = graph.vectors.astype(jnp.float32)
     if config.storage_dtype != "f32":
         # refine/backlinks score against what search will see
@@ -634,24 +649,32 @@ def build_graph_exact(
     from vss_tpu.ops.scan import native_scan_supported
     from vss_tpu.utils import use_pallas
 
+    scan_ok = use_pallas() and native_scan_supported(graph.vectors.dtype)
     mode = os.environ.get("VSS_CAND_MODE", candidate_mode)
     if mode == "auto":
         if n < _IVF_AUTO_MIN_N:
             mode = "exact"
-        elif use_pallas() and native_scan_supported(graph.vectors.dtype):
-            mode = "scan"
+        elif scan_ok:
+            # hybrid: IVF first (fast on anything clustered), sampled
+            # oracle check (~0.3 s), scan pass only when the lists fail
+            # — flat data gets near-exact lists, clustered pays nothing
+            mode = "hybrid"
         else:
             mode = "ivf"
-    if mode == "scan":
+
+    def _scan_pass():
         from vss_tpu.ops.scan import SCAN_K_MAX
 
         tape_n = graph.vectors[:n]
         tape_norms = jnp.sum(tape_f32[:n] * tape_f32[:n], axis=1)
-        cand_d, cand_i = scan_candidates(
+        return scan_candidates(
             xv, tape_n, jnp.ones((n,), jnp.bool_), tape_norms,
             min(C0, SCAN_K_MAX), config.metric, progress=knn_prog,
         )
-    elif mode == "ivf":
+
+    if mode == "scan":
+        cand_d, cand_i = _scan_pass()
+    elif mode in ("ivf", "hybrid"):
         from vss_tpu.index.ivf_candidates import ivf_candidates
 
         cand_d, cand_i = ivf_candidates(
@@ -659,10 +682,21 @@ def build_graph_exact(
         )
         # IVF lists are locality-dependent: on flat (iid-like) data the
         # probed pool misses the true neighbors and the graph collapses
-        # (round-3: recall@10 = 0.095 at 1M iid). NN-descent rounds are
-        # the distribution-agnostic repair; the sampled-oracle trigger
-        # inside makes clustered corpora pay only a ~0.2 s check.
-        if os.environ.get("VSS_NND", "1") == "1":
+        # (round-3: recall@10 = 0.095 at 1M iid). The repairs:
+        # 'hybrid' replaces failing lists with the near-exact scan pass
+        # (TPU); 'ivf' (off-TPU / forced) applies NN-descent rounds,
+        # whose own sampled trigger skips clustered corpora.
+        if mode == "hybrid":
+            from vss_tpu.index.nn_descent import sampled_list_recall
+
+            rec, _, _ = sampled_list_recall(
+                xv, cand_i, config.metric, seed=seed + 2
+            )
+            _mark(f"ivf sampled recall@10={rec:.3f}")
+            if rec < float(os.environ.get("VSS_CAND_RECALL_BAR", "0.90")):
+                cand_d, cand_i = _scan_pass()
+                _mark("scan fallback", cand_i)
+        elif os.environ.get("VSS_NND", "1") == "1":
             from vss_tpu.index.nn_descent import nn_descent_refine
 
             cand_d, cand_i = nn_descent_refine(
@@ -746,4 +780,12 @@ def build_graph_exact(
     _mark("repair", graph.adj0)
     if progress is not None:
         progress(total_units, total_units)
+    if want_rerank:
+        rr = config.rerank_dtype
+        rtape = None
+        if rr is not None:
+            rtape = jnp.zeros((graph.capacity, config.dims), rr)
+            rtape = rtape.at[:n].set(xv_orig.astype(rr))
+            _mark("rerank tape", rtape)
+        return graph, next_row, rtape
     return graph, next_row
