@@ -106,15 +106,7 @@ def _ensure_backend():
     here; (b) is caught by a watchdog thread that re-execs the process if
     a tiny probe op hasn't completed within 180s (exec from the watchdog
     thread tears down the wedged main thread)."""
-    try:
-        import jax
-
-        jax.devices()
-    except Exception as e:
-        _reexec(f"backend init failed: {e}")
     import threading
-
-    import jax.numpy as jnp
 
     ok = threading.Event()
 
@@ -122,7 +114,17 @@ def _ensure_backend():
         if not ok.wait(180):
             _reexec("first device op wedged", delay=30)
 
+    # the watchdog must be armed BEFORE the claim: jax.devices() itself
+    # can HANG (not raise) on a leaked relay session, which round 4
+    # observed sitting >20 min with no recovery path
     threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        import jax
+
+        jax.devices()
+    except Exception as e:
+        _reexec(f"backend init failed: {e}")
+    import jax.numpy as jnp
     # RANDOM data: a jnp.ones probe is constant-folded at compile time
     # and never touches the device — it reported "ok" on claims whose
     # first real op then wedged
