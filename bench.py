@@ -387,59 +387,45 @@ def main():
     def q_scaled(qs):
         return qs / scale if STORAGE == "int8" else qs
 
-    # group-fetch tape (round-3 descriptor-ceiling lever): A/B'd against
-    # the chosen operating point below, adopted when it wins
-    g_tab, g_grp = idx.grouped_tape()
-    if os.environ.get("VSS_BENCH_GROUP", "1") != "1":
-        g_tab = None
+    # (the round-3/4 group-fetch A/B lived here; the path lost 3.4x at
+    # equal eval counts and was deleted — see docs/BENCH.md)
 
-    def _impl(g_, al_, qb_, ef, grp, rt, gtab):
-        # g_/al_/rt/gtab are threaded through jit ARGUMENTS by callers —
+    def _impl(g_, al_, qb_, ef, rt):
+        # g_/al_/rt are threaded through jit ARGUMENTS by callers —
         # closure-capturing them would embed hundreds of MB as HLO
         # constants and blow the remote-compile tunnel (HTTP 413)
-        if grp:
-            return _hnsw_search_impl(
-                g_, config, qb_, al_, K, ef, ESEARCH, 0, False, True,
-                False, p_slots, p_vecs, N_SEEDS, x_norms, None, 1, rt,
-                gtab, g_grp,
-            )
         return _hnsw_search_impl(
             g_, config, qb_, al_, K, ef, ESEARCH, 0, False, True,
             fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack, rt,
         )
 
-    # NB: r_tape/g_tab are jit ARGUMENTS — a closure-captured device
-    # array is embedded as an HLO constant, and the 512 MB side tape blew
-    # the remote-compile tunnel's request-body limit (HTTP 413)
-    @partial(jax.jit, static_argnames=("iters", "ef", "grp"))
-    def search_loop(graph, q_stack, allow, rt, gtab, iters: int, ef: int,
-                    grp: bool = False):
+    # NB: r_tape is a jit ARGUMENT — a closure-captured device array is
+    # embedded as an HLO constant, and the 512 MB side tape blew the
+    # remote-compile tunnel's request-body limit (HTTP 413)
+    @partial(jax.jit, static_argnames=("iters", "ef"))
+    def search_loop(graph, q_stack, allow, rt, iters: int, ef: int):
         def body(i, carry):
             acc, delta = carry
             q = q_scaled(q_stack[i % nb]) + delta
-            d, sl, it, ev = _impl(graph, allow, q, ef, grp, rt, gtab)
+            d, sl, it, ev = _impl(graph, allow, q, ef, rt)
             s = d[0, 0]
             return acc + s, delta + s * 1e-30
 
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
         return acc
 
-    points = {}  # ef -> (qps, recall, per_batch, evals, iters) [non-group]
+    points = {}  # ef -> (qps, recall, per_batch, evals, iters)
 
-    def run_at(ef, grp=False):
+    def run_at(ef):
         per = _slope(
-            lambda it: search_loop(
-                graph, q_stack, allow, r_tape, g_tab if grp else None,
-                it, ef, grp,
-            ),
+            lambda it: search_loop(graph, q_stack, allow, r_tape, it, ef),
             2, 8,
         )
         qps = QBATCH / per
         rowss, evals_tot, iters_max = [], 0, 0
         for i in range(nb):
             d, sl, iters, evals = _impl(
-                graph, allow, q_scaled(q_stack[i]), ef, grp, r_tape,
-                g_tab if grp else None,
+                graph, allow, q_scaled(q_stack[i]), ef, r_tape,
             )
             rowss.append(np.asarray(
                 jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
@@ -452,8 +438,7 @@ def main():
             for a, b in zip(got, gt)
         )
         res = (qps, hits / (NQ * K), per, evals_tot / nb, iters_max)
-        if not grp:
-            points[ef] = res
+        points[ef] = res
         return res
 
     RECALL_TARGET = float(os.environ.get("VSS_BENCH_RECALL_TARGET", 0.90))
@@ -485,35 +470,6 @@ def main():
             )
 
     gather_mode = "fused" if fused else "xla-take"
-    # ---- group-fetch A/B at the chosen operating point: one DMA
-    # descriptor moves 4 transpose-packed int8 rows (>=512 B), breaking
-    # the one-descriptor-per-row issue-rate ceiling; the 3 slot-adjacent
-    # extras are real scored candidates that widen the pool
-    if g_tab is not None and not on_cpu:
-        try:
-            gq, gr, gper, gev, git = run_at(ef_used, grp=True)
-            log(f"[bench] group-fetch ef={ef_used}: {gq:.0f} qps "
-                f"recall@{K}={gr:.4f} ({git} iters, {gev:.0f} evals/batch)")
-            ef_grp = ef_used
-            # the wider pool often lets a smaller ef hit the bar
-            if gr >= RECALL_TARGET:
-                for ef_try in (ef_used // 2, ef_used * 3 // 4):
-                    if ef_try < K or ef_try >= ef_used:
-                        continue
-                    q3, r3, p3, e3, i3 = run_at(ef_try, grp=True)
-                    log(f"[bench] group-fetch ef={ef_try}: {q3:.0f} qps "
-                        f"recall@{K}={r3:.4f}")
-                    if r3 >= RECALL_TARGET and q3 > gq:
-                        gq, gr, gper, gev, git, ef_grp = (
-                            q3, r3, p3, e3, i3, ef_try
-                        )
-                        break
-            if gr >= RECALL_TARGET and gq > qps:
-                qps, rec, per_b, evals_b, iters_b = gq, gr, gper, gev, git
-                ef_used = ef_grp
-                gather_mode = "group-fetch"
-        except Exception as e:  # degrade to the plain path, keep the run
-            log(f"[bench] group-fetch A/B failed: {e}")
 
     # ---- dual operating point: cheapest ef with recall >= 0.95
     HI_TARGET = float(os.environ.get("VSS_BENCH_HI_TARGET", 0.95))
@@ -967,7 +923,7 @@ def main():
     # end-to-end (GT -> build -> ladder -> scan A/B) in this process and
     # lands as a sub-object of the single JSON line; a wedged arm records
     # its error instead of killing the artifact.
-    del idx, graph, r_tape, p_tab, g_tab, x_norms, p_slots, p_vecs, allow
+    del idx, graph, r_tape, p_tab, x_norms, p_slots, p_vecs, allow
 
     def _arm_deadline(key):
         """Per-arm wall-clock budget (VERDICT r3 task #2). Returns an

@@ -94,7 +94,6 @@ class HNSWIndex:
         self._pivot_cache: Optional[tuple] = None
         self._norms_cache: Optional[tuple] = None
         self._packed_cache: Optional[tuple] = None
-        self._grouped_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -242,20 +241,12 @@ class HNSWIndex:
         g = self.graph
         pivot_slots, pivot_vecs = self.pivots()
         packed, packing = self.packed_tape()
-        import os as _os
-
-        group_tape, group = (None, 4)
-        if _os.environ.get("VSS_GROUP_FETCH", "0") == "1":
-            gt_, g_ = self.grouped_tape()
-            if gt_ is not None:
-                group_tape, group = gt_, g_
         d, slots = hnsw_search(
             g, self.config, q, k, ef=ef, filter_mask=filter_mask,
             expand=expand, assume_all_valid=self.deleted_count == 0,
             pivot_slots=pivot_slots, pivot_vecs=pivot_vecs,
             x_norms=self.norms(), packed_tape=packed, packing=packing,
-            rerank_tape=self.rerank_tape, group_tape=group_tape,
-            group=group,
+            rerank_tape=self.rerank_tape,
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
@@ -323,25 +314,6 @@ class HNSWIndex:
             words, packing = None, 1
         self._packed_cache = (g, words, packing)
         return words, packing
-
-    def grouped_tape(self):
-        """(grouped_view, group) for the group-fetch gather kernel
-        (`ops/gather.pack_group_table`): 4 transpose-packed int8 rows per
-        128-lane DMA descriptor. (None, 0) when inapplicable. Cached per
-        graph version."""
-        g = self.graph
-        if self._grouped_cache is not None and self._grouped_cache[0] is g:
-            return self._grouped_cache[1], self._grouped_cache[2]
-        from vss_tpu.utils import use_pallas
-
-        if g.vectors.dtype != jnp.int8 or not use_pallas():
-            self._grouped_cache = (g, None, 0)
-            return None, 0
-        from vss_tpu.ops.gather import pack_group_table
-
-        words, group = pack_group_table(g.vectors)
-        self._grouped_cache = (g, words, group)
-        return words, group
 
     def scan_search(
         self,

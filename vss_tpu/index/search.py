@@ -247,8 +247,6 @@ def beam_search_base(
     fused: bool = False,
     packed_tape: Optional[jax.Array] = None,
     packing: int = 1,
-    group_tape: Optional[jax.Array] = None,
-    group: int = 4,
 ):
     """Beam search with pool size `ef` from per-query seed nodes.
 
@@ -372,35 +370,13 @@ def beam_search_base(
         if E > 1:
             # cross-group block compares beat sort-based dedupe at small E
             neigh = _dedupe_across_groups(neigh, E, m0)
-        if group_tape is not None and base:
-            # group-fetch: one DMA descriptor moves G transpose-packed
-            # rows (>= 512B, 128-lane aligned); at d=128 int8 that is 1
-            # descriptor per G=4 candidates instead of 4 — the round-3
-            # answer to the per-row descriptor-issue ceiling (see
-            # ops/gather.pack_group_table). Round 3 admitted all G rows
-            # into the pool, which 4x'd the merge width and total evals
-            # and LOST 3.1x to plain take; round 4 keeps the DMA saving
-            # but admits ONLY the requested candidates — the extras are
-            # scored in-kernel (data is resident anyway) and dropped, so
-            # pool width, dedupe, and eval count match the plain path.
-            from vss_tpu.ops.gather import group_distances_pallas
-
-            g_of = jnp.where(neigh >= 0, neigh // group, -1)
-            groups = _dedupe_keep_first(g_of)
-            nd_all, _ = group_distances_pallas(
-                group_tape, groups, q, config.metric, q_norms, group=group
-            )
-            # route each requested candidate to its lane: the kernel's
-            # output is PLANE-major — group slot j, offset r lands at
-            # position r*Cg + j (gather.group_distances_pallas contract)
-            gsafe = jnp.where(groups >= 0, groups, -2)
-            match = g_of[:, :, None] == gsafe[:, None, :]  # [B, W, W]
-            gidx = jnp.argmax(match, axis=2).astype(jnp.int32)
-            Cg = groups.shape[1]
-            pos = (jnp.maximum(neigh, 0) % group) * Cg + gidx
-            nd = jnp.take_along_axis(nd_all, pos, axis=1)
-            nd = jnp.where(neigh >= 0, nd, _INF)
-        elif fused:
+        # NOTE: a 4-row "group-fetch" DMA variant (one descriptor per 4
+        # transpose-packed candidates, attacking the descriptor-issue
+        # ceiling) was built in round 3 and fixed in round 4 to admit
+        # only requested candidates — it STILL lost 3.4x to plain take
+        # at equal eval counts (10.1k vs 34.1k qps at ef=32, BENCH_r04),
+        # so the path was deleted; finding recorded in docs/BENCH.md.
+        if fused:
             # fused Pallas gather+score: sentinel ids (dups, padding,
             # finished queries) issue no DMA and cost nothing
             from vss_tpu.ops.gather import gather_distances_pallas
@@ -520,14 +496,13 @@ def pivot_seeds(
     jax.jit,
     static_argnames=(
         "config", "k", "ef", "expand", "max_iters", "dual_pool",
-        "use_history", "fused", "n_seeds", "packing", "group",
+        "use_history", "fused", "n_seeds", "packing",
     ),
 )
 def _hnsw_search_impl(
     graph, config, q, allow, k, ef, expand, max_iters, dual_pool=True,
     use_history=True, fused=False, pivot_slots=None, pivot_vecs=None,
     n_seeds=4, x_norms=None, packed_tape=None, packing=1, rerank_tape=None,
-    group_tape=None, group=4,
 ):
     metric = Metric.parse(config.metric)
     q_norms = None
@@ -557,7 +532,7 @@ def _hnsw_search_impl(
         graph, config, q, seeds, seed_d, ef, allow, expand, max_iters,
         x_norms=x_norms, q_norms=q_norms, dual_pool=dual_pool,
         use_history=use_history, fused=fused, packed_tape=packed_tape,
-        packing=packing, group_tape=group_tape, group=group,
+        packing=packing,
     )
     if rerank_tape is not None:
         # exact rescoring of the ef-wide pool against the full-precision
@@ -606,8 +581,6 @@ def hnsw_search(
     packed_tape: Optional[jax.Array] = None,
     packing: int = 1,
     rerank_tape: Optional[jax.Array] = None,
-    group_tape: Optional[jax.Array] = None,
-    group: int = 4,
 ):
     """k-NN search over the graph for a batch of queries.
 
@@ -647,7 +620,6 @@ def hnsw_search(
         graph, config, q.astype(jnp.float32), allow, k, ef, expand,
         max_iters, dual_pool, use_history, fused, pivot_slots,
         pivot_vecs, n_seeds, x_norms, packed_tape, packing, rerank_tape,
-        group_tape, group,
     )
     if with_stats:
         return d, i, {"iterations": int(iters), "distance_evals": int(evals)}

@@ -315,206 +315,13 @@ def pack_table(table: jax.Array):
 
 
 # --------------------------------------------------------------------------
-# Group-fetch gather + distance: the round-3 answer to the per-row
-# descriptor-issue ceiling. At the flagship config (int8, d=128) a row is
-# 128 bytes — below Mosaic's 128-lane DMA minimum — so the round-2 fused
-# kernel could not run at all and plain jnp.take issued one descriptor
-# per 128-byte row (~0.6% of HBM peak). Here the tape is re-packed ONCE
-# so that G consecutive rows transpose into ONE [d]-word i32 row:
-#
-#     grouped[g, j] = pack_int8(tape[G*g+0, j], ..., tape[G*g+3, j])
-#
-# Each DMA descriptor then moves G*d bytes (>= 512B, 128-lane aligned)
-# and yields G candidates. After `optimize_layout` clustering, neighbor
-# ids share groups, so dedup-by-group also cuts the descriptor count.
-# Byte-plane k of the fetched word row decodes to row G*g+k with columns
-# in NATURAL order — no query permutation needed.
-# Scoring the G-1 slot-adjacent extra rows costs only MXU flops (free at
-# this scale) and adds near-duplicate candidates the beam can use.
-# Replaces the gather half of `search_to_find_in_base_`
-# (/root/reference/src/include/usearch/index.hpp:3929-3999).
-
-
-def pack_group_table(table: jax.Array, group: int = 4):
-    """Transpose-packed group view for the group-fetch kernel:
-    int8 [N, d] -> i32 [ceil(N/G), dp] with dp = d padded to 128 words.
-    Returns (grouped_view, group). One-time, cached per graph version."""
-    if table.dtype != jnp.int8 or group != 4:
-        raise ValueError("group packing supports int8 tapes with G=4")
-    n, d = table.shape
-    np_ = cdiv(n, group) * group
-    dp = cdiv(d, 128) * 128
-    t = table
-    if np_ != n or dp != d:
-        t = jnp.pad(t, ((0, np_ - n), (0, dp - d)))
-    w = jax.lax.bitcast_convert_type(
-        t.reshape(np_ // group, group, dp).transpose(0, 2, 1), jnp.int32
-    )  # [N/G, dp]
-    return w, group
-
-
-def _group_dist_kernel(
-    gids_ref,     # scalar-prefetch: flat group ids [B*Cg] (SMEM)
-    gids_v_ref,   # same ids, blocked [QB, Cg] (VMEM) for masking
-    q_ref,        # [QB, dp] f32 queries (natural column order)
-    qn_ref,       # [QB, 1] query squared norms
-    table_ref,    # [N/G, dp] i32 grouped words, HBM
-    out_ref,      # [QB, G*Cg] distances (plane-major: cand m = plane m//Cg)
-    scratch,      # [QB*Cg, dp] i32 VMEM
-    sems,
-    *,
-    qb: int,
-    cg: int,
-    metric_name: str,
-    group: int,
-):
-    from vss_tpu.ops.distance import Metric
-
-    metric = Metric.parse(metric_name)
-    i = pl.program_id(0)
-    base = i * qb * cg
-    total = qb * cg
-
-    def dma(j):
-        g = gids_ref[base + j]
-        return pltpu.make_async_copy(
-            table_ref.at[pl.ds(jnp.maximum(g, 0), 1), :],
-            scratch.at[pl.ds(j, 1), :],
-            sems.at[j % _NSEM],
-        )
-
-    def start(j):
-        @pl.when(gids_ref[base + j] >= 0)
-        def _():
-            dma(j).start()
-
-    def wait(j):
-        @pl.when(gids_ref[base + j] >= 0)
-        def _():
-            dma(j).wait()
-
-    for j in range(min(_NSEM, total)):
-        start(j)
-
-    def body(j, carry):
-        wait(j)
-
-        @pl.when(j + _NSEM < total)
-        def _():
-            start(j + _NSEM)
-
-        return carry
-
-    jax.lax.fori_loop(0, total, body, 0)
-
-    w = scratch[:]
-    dp = w.shape[-1]
-    # byte-plane k == tape row G*g + k, columns already in natural order
-    planes = []
-    for k in range(group):
-        b = (w >> (8 * k)) & jnp.int32(255)
-        planes.append(((b ^ 128) - 128).astype(jnp.float32).reshape(qb, cg, dp))
-    g = jnp.concatenate(planes, axis=1)  # [qb, G*cg] candidates
-    qv = q_ref[:].astype(jnp.float32)
-    dots = jax.lax.dot_general(
-        g, qv, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    # concatenate the i32 ids, THEN compare: concatenating i1 vectors
-    # makes Mosaic emit an invalid vreg bitcast (i1 -> i32) on chip
-    ok = jnp.concatenate([gids_v_ref[:]] * group, axis=1) >= 0
-    if metric == Metric.IP:
-        d = 1.0 - dots
-    else:
-        xn = jnp.sum(g * g, axis=2)
-        qn = qn_ref[:]
-        if metric == Metric.L2SQ:
-            d = jnp.maximum(qn + xn - 2.0 * dots, 0.0)
-        else:
-            denom = jnp.sqrt(qn * xn)
-            cos = jnp.where(denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0)
-            d = jnp.where((qn == 0.0) & (xn == 0.0), 0.0, 1.0 - cos)
-    out_ref[:] = jnp.where(ok, d, jnp.float32(jnp.inf))
-
-
-@functools.partial(jax.jit, static_argnames=("qb", "metric_name", "group"))
-def _group_distances_impl(table, gids, q, qn, qb: int, metric_name: str,
-                          group: int):
-    B, Cg = gids.shape
-    dp = table.shape[1]
-    n_prog = B // qb
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec((qb, Cg), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, dp), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, 1), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (qb, group * Cg), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((qb * Cg, dp), table.dtype),
-            pltpu.SemaphoreType.DMA((_NSEM,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(
-            _group_dist_kernel, qb=qb, cg=Cg, metric_name=metric_name,
-            group=group,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, group * Cg), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(gids.reshape(-1).astype(jnp.int32), gids.astype(jnp.int32), q, qn, table)
-
-
-def group_distances_pallas(
-    grouped_table: jax.Array,
-    group_ids: jax.Array,
-    q: jax.Array,
-    metric,
-    q_norms_sq=None,
-    qb: int = int(_os.environ.get("VSS_GATHER_QB", "8")),
-    group: int = 4,
-) -> tuple[jax.Array, int]:
-    """Fused group gather + score. group_ids [B, Cg] (dedup'd, -1 pad);
-    returns distances [B, G*Cg] f32 (+inf where the group id is -1).
-    Candidate m of query b is tape row `group_ids[b, m % Cg] * G + m // Cg`
-    (plane-major order — callers build the id tensor the same way).
-    q is the unpacked f32 query, zero-padded here to the grouped view's
-    column count."""
-    B, Cg = group_ids.shape
-    q = q.astype(jnp.float32)
-    dp = grouped_table.shape[1]
-    if q.shape[1] != dp:
-        q = jnp.pad(q, ((0, 0), (0, dp - q.shape[1])))
-    if q_norms_sq is None:
-        q_norms_sq = jnp.sum(q * q, axis=-1)
-    qn = q_norms_sq.astype(jnp.float32)[:, None]
-    qb = min(qb, max(1, B))
-    Bp = cdiv(B, qb) * qb
-    if Bp != B:
-        group_ids = jnp.pad(group_ids, ((0, Bp - B), (0, 0)), constant_values=-1)
-        q = jnp.pad(q, ((0, Bp - B), (0, 0)))
-        qn = jnp.pad(qn, ((0, Bp - B), (0, 0)))
-    from vss_tpu.ops.distance import Metric
-
-    out = _group_distances_impl(
-        grouped_table, group_ids, q, qn, qb, Metric.parse(metric).value, group
-    )
-    return out[:B], group
-
-
-def group_candidate_ids(group_ids: jax.Array, group: int = 4) -> jax.Array:
-    """ids [B, G*Cg] matching group_distances_pallas's plane-major layout."""
-    parts = [
-        jnp.where(group_ids >= 0, group_ids * group + r, -1)
-        for r in range(group)
-    ]
-    return jnp.concatenate(parts, axis=1)
+# (A 4-row transpose-packed "group-fetch" DMA variant lived here in
+# rounds 3-4: one descriptor per 4 candidates, attacking the per-row
+# descriptor-issue ceiling at d=128 int8, where a 128-byte row is below
+# Mosaic's 128-lane DMA minimum. Even after admitting only requested
+# candidates it measured 3.4x SLOWER than plain take at equal eval
+# counts (10.1k vs 34.1k qps at ef=32, BENCH_r04), so the path was
+# deleted; finding recorded in docs/BENCH.md.)
 
 
 def plane_queries(q: jax.Array, packing: int) -> jax.Array:
