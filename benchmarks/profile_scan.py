@@ -66,14 +66,31 @@ queries = jnp.asarray(
 valid = jnp.ones((N,), jnp.bool_)
 
 
-def timeit(fn, warm=2, reps=5):
-    for _ in range(warm):
-        jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+import functools as _ft
+
+
+def slope_time(make_loop, lo=2, hi=8, trials=3):
+    """bench.py's slope methodology: a jitted chained fori_loop (each
+    iteration's input depends on the previous output, so nothing elides
+    or memoizes), timed at two iteration counts; per-iter = d(t)/d(N).
+    Naive repeat-timing of identical calls measured 936 GB/s 'streams'
+    (above HBM peak) — pure memoization artifacts."""
+    fn = make_loop
+    _ = float(np.asarray(fn(lo)).ravel()[0])
+    _ = float(np.asarray(fn(hi)).ravel()[0])
+    deltas = []
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(fn(lo)).ravel()[0])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(np.asarray(fn(hi)).ravel()[0])
+        t_hi = time.perf_counter() - t0
+        deltas.append(t_hi - t_lo)
+    pos = [d for d in deltas if d > 0]
+    if not pos:
+        return max(max(deltas) / (hi - lo), 1e-9)
+    return min(pos) / (hi - lo)
 
 
 for qb in [int(x) for x in os.environ.get("QBS", "256,512").split(",")]:
@@ -88,18 +105,44 @@ for qb in [int(x) for x in os.environ.get("QBS", "256,512").split(",")]:
     qp = pad_to(queries, 0, qb)
     keep = max(2 * K, K + 6)
 
-    fA = functools.partial(
-        _native_segmin_scan, qp.astype(jnp.bfloat16), xp, xn2, v2, keep,
-        "l2sq", tile, qb, subt,
+    import functools as _f
+
+    @_f.partial(jax.jit, static_argnames=("iters",))
+    def loopA(qp_, xp_, xn2_, v2_, iters: int):
+        def body(i, carry):
+            acc, delta = carry
+            segs = _native_segmin_scan(
+                (qp_ + delta).astype(jnp.bfloat16), xp_, xn2_, v2_, keep,
+                "l2sq", tile, qb, subt,
+            )
+            s = jnp.asarray(segs[0, 0], jnp.float32)
+            return acc + s, delta + s * 1e-30
+
+        return jax.lax.fori_loop(
+            0, iters, body, (jnp.float32(0), jnp.float32(0))
+        )[0]
+
+    @_f.partial(jax.jit, static_argnames=("iters", "use_rr"))
+    def loopF(q_, tape_, xn_, v_, rr_, iters: int, use_rr: bool):
+        def body(i, carry):
+            acc, delta = carry
+            d, _ = scan_topk(
+                q_ + delta, tape_, K, "l2sq", valid_mask=v_, x_norms=xn_,
+                rerank_tape=rr_ if use_rr else None,
+            )
+            s = d[0, 0]
+            return acc + s, delta + s * 1e-30
+
+        return jax.lax.fori_loop(
+            0, iters, body, (jnp.float32(0), jnp.float32(0))
+        )[0]
+
+    tA = slope_time(lambda it: loopA(qp, xp, xn2, v2, it))
+    t_full = slope_time(
+        lambda it: loopF(queries, tape, xn, valid, rr, it, True)
     )
-    tA = timeit(fA)
-    t_full = timeit(
-        lambda: scan_topk(queries, tape, K, "l2sq", valid_mask=valid,
-                          x_norms=xn, rerank_tape=rr)[0]
-    )
-    t_norr = timeit(
-        lambda: scan_topk(queries, tape, K, "l2sq", valid_mask=valid,
-                          x_norms=xn)[0]
+    t_norr = slope_time(
+        lambda it: loopF(queries, tape, xn, valid, rr, it, False)
     )
     gb = N * D * itemsize / 1e9
     print(

@@ -151,6 +151,18 @@ def _rescore_native(q, segs, x, xn_tape, valid, rerank_tape, m, k,
     )
 
 
+def _gather_segment_blocks(xb: jax.Array, segs: jax.Array) -> jax.Array:
+    """Gather [keep] 128-row segment blocks per query from the blocked
+    tape view xb [S, 128*d] via XLA take. A Pallas per-block-DMA variant
+    (native-sublane-tiled views, one >=16 KB descriptor per segment) was
+    A/B'd in round 4 and LOST: 11.9 vs 9.5 ms full-scan at qb=256
+    (benchmarks/profile_scan.py) — XLA's gather already moves these
+    blocks at the DMA-issue envelope, and phase B's ~23 GB/s effective
+    rate is the chained dependency (gather -> rescore -> select), not a
+    fixable gather inefficiency. Finding recorded in docs/BENCH.md."""
+    return jnp.take(xb, jnp.maximum(segs, 0), axis=0)
+
+
 def _rescore_native_block(q, segs, x, xn_tape, valid, rerank_tape, m, k,
                           metric_name, has_rerank):
     metric = Metric.parse(metric_name)
@@ -165,7 +177,7 @@ def _rescore_native_block(q, segs, x, xn_tape, valid, rerank_tape, m, k,
     # descriptor issue rate made the row gather 10x slower (measured
     # 24.9 ms vs 2.1 ms for the whole winnow pass at 1M x 128 int8)
     xb = x.reshape(x.shape[0] // _SEG, _SEG * d)
-    xg = jnp.take(xb, jnp.maximum(segs, 0), axis=0)  # [nq, keep, 128*d]
+    xg = _gather_segment_blocks(xb, segs)  # [nq, keep, 128*d]
     if has_rerank:
         # bf16 scoring: int8 values are exact in bf16 and phase C reranks
         # the m-pool at f32, so only the q rounding (~0.4%) can perturb
