@@ -53,14 +53,15 @@ QBATCH = 512
 # HBM burst granularity): short rows don't fetch faster than this.
 MIN_FETCH = 256.0
 # Effective rates of the STORAGE-NATIVE segmin scan (ops/scan.scan_topk)
-# over the index tape, by tape itemsize. int8 fit to the BENCH_r03 tail:
-# 47,632 qps at 512-query batches over 1M x 128 int8 = 10.75 ms/batch
-# for a 128 MB tape stream = 11.9 GB/s effective (the kernel also pays
-# the byte-plane decode + f32 rerank inside that time). bf16 streams the
-# same kernel at 2 B/elem; its rate is interpolated, not yet measured —
-# re-fit when a bf16 flagship lands. f32 tapes route to the plain
-# bruteforce matmul (STREAM_BW).
-TAPE_BW = {1: 11.9e9, 2: 16.0e9, 4: STREAM_BW}
+# over the index tape, by tape itemsize. int8 fit to the round-4 keep
+# sweep: 64,241 qps at 512-query batches over 1M x 128 int8 =
+# 7.97 ms/batch for a 128 MB tape stream = 16.1 GB/s effective (the
+# kernel also pays the byte-plane decode + f32 rerank inside that
+# time; keep = k+2 winnow margin). bf16 streams the same kernel at
+# 2 B/elem; its rate is interpolated, not yet measured — re-fit when a
+# bf16 flagship lands. f32 tapes route to the plain bruteforce matmul
+# (STREAM_BW).
+TAPE_BW = {1: 16.1e9, 2: 20.0e9, 4: STREAM_BW}
 
 
 def beam_iters(ef: int, expand: int) -> float:
