@@ -82,6 +82,12 @@ _last_progress = time.time()
 def log(msg):
     global _last_progress
     _last_progress = time.time()
+    hb = os.environ.get("VSS_BENCH_HB")
+    if hb:
+        try:
+            os.utime(hb)
+        except OSError:
+            pass
     print(msg, file=sys.stderr, flush=True)
 
 
@@ -994,5 +1000,79 @@ def main():
     emit(out)
 
 
+def _supervise():
+    """Run main() in a CHILD process and watch a heartbeat file from
+    here. The in-process watchdog threads (claim probe, mid-run
+    heartbeat) cover wedges where Python threads still run — but the
+    tunnel's worst mode holds the GIL inside a C poll loop, starving
+    every thread AND Python signal handlers (observed: a gist-arm build
+    sat 20+ min at ~0 CPU with no watchdog firing). Only another
+    PROCESS can recover that. The child inherits stdout, so the
+    incremental JSON lines it already emitted survive a kill; the last
+    parseable line is always the artifact."""
+    import pathlib
+    import signal
+    import subprocess
+    import tempfile
+
+    hb = os.path.join(tempfile.gettempdir(), f"vss_bench_hb_{os.getpid()}")
+    stall_s = float(os.environ.get("VSS_BENCH_STALL", "480"))
+    child = [None]
+
+    def forward(sig, _frame):
+        if child[0] is not None:
+            child[0].terminate()
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, forward)
+    for attempt in range(4):
+        env = dict(os.environ)
+        env["VSS_BENCH_CHILD"] = "1"
+        env["VSS_BENCH_HB"] = hb
+        pathlib.Path(hb).touch()
+        p = subprocess.Popen([sys.executable] + sys.argv, env=env)
+        child[0] = p
+        rc = None
+        while True:
+            try:
+                rc = p.wait(timeout=30)
+                break
+            except subprocess.TimeoutExpired:
+                try:
+                    age = time.time() - os.path.getmtime(hb)
+                except OSError:
+                    age = 0.0
+                if age > stall_s:
+                    print(
+                        f"[bench-supervisor] child stalled {age:.0f}s "
+                        "(GIL-held wedge?) — SIGTERM",
+                        file=sys.stderr, flush=True,
+                    )
+                    p.terminate()
+                    try:
+                        rc = p.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        # last resort; risks a relay-session leak, but a
+                        # wedged child holds the chip forever otherwise
+                        p.kill()
+                        rc = p.wait()
+                    rc = None  # stall, not a real exit: retry
+                    break
+        if rc == 0:
+            sys.exit(0)
+        print(
+            f"[bench-supervisor] child rc={rc} (attempt {attempt}); "
+            "retrying in 45s", file=sys.stderr, flush=True,
+        )
+        time.sleep(45)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if (
+        os.environ.get("VSS_BENCH_CHILD") != "1"
+        and os.environ.get("VSS_BENCH_SUPERVISE", "1") == "1"
+    ):
+        _supervise()
+    else:
+        main()
