@@ -337,9 +337,15 @@ class HNSWIndex:
         allow = g.valid
         if filter_mask is not None:
             allow = allow & filter_mask
+        # keep = 2k: this is the SQL layer's EXACT_SCAN_TOPK/JOIN
+        # surface, which replaces the brute-force operator — hold the
+        # wider winnow margin that measures recall 1.0 on every corpus
+        # (the raw serving default is the tighter k+2; BENCH_r04 keep
+        # sweep documents the trade: 62.6k qps @ 0.9951 vs 50.2k @ 1.0)
         d, slots = scan_topk(
             q, g.vectors, k, self.config.metric, valid_mask=allow,
             x_norms=self.norms(), rerank_tape=self.rerank_tape,
+            keep=2 * k,
         )
         if self.config.storage_dtype == "int8":
             d = self._rescale_distances(d)
