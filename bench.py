@@ -72,8 +72,33 @@ class ArmTimeout(Exception):
 def emit(out):
     """Print the artifact JSON line NOW. Called after the flagship and
     re-called (with the enriched object) after every arm, so the last
-    parseable stdout line always reflects everything measured so far."""
+    parseable stdout line always reflects everything measured so far.
+    Under the supervisor, also mirror to the resume file: a relaunched
+    child merges completed arm blocks from it instead of re-running
+    them — and, crucially, its fresh flagship line would otherwise
+    SUPERSEDE a richer earlier line as 'the last parseable line'."""
     print(json.dumps(out), flush=True)
+    ef = os.environ.get("VSS_BENCH_EMIT_FILE")
+    if ef:
+        try:
+            tmp = ef + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(out))
+            os.replace(tmp, ef)
+        except OSError:
+            pass
+
+
+def _load_resume() -> dict:
+    """Arm blocks a previous (killed) child already measured."""
+    ef = os.environ.get("VSS_BENCH_EMIT_FILE")
+    if not ef or not os.path.exists(ef):
+        return {}
+    try:
+        with open(ef) as f:
+            return json.loads(f.read())
+    except (OSError, ValueError):
+        return {}
 
 
 _last_progress = time.time()
@@ -715,6 +740,13 @@ def main():
     # one json.dumps at the very end never ran (rc=124 mid-GIST-arm).
     # Every later emit() reprints the enriched object, so the LAST
     # parseable stdout line always reflects everything measured so far.
+    # A supervisor-relaunched child inherits arm blocks a previous child
+    # already finished (and skips re-running those arms below).
+    _resume = _load_resume()
+    for _rk in ("gist_960d", "iid"):
+        if _rk in _resume and "error" not in _resume[_rk]:
+            out[_rk] = _resume[_rk]
+            log(f"[bench] resumed {_rk} block from prior attempt")
     emit(out)
 
     def run_arm(name, a_vecs, a_queries, a_metric, ef0, deadline=None,
@@ -943,7 +975,8 @@ def main():
 
     # GIST first: the 960-d number has been lost three rounds running,
     # and iid's headline (recall) is cheaper to reproduce.
-    if not on_cpu and os.environ.get("VSS_BENCH_GIST", "1") == "1":
+    if (not on_cpu and os.environ.get("VSS_BENCH_GIST", "1") == "1"
+            and "gist_960d" not in out):
         dl = _arm_deadline("gist_960d")
         if dl is not None:
             try:
@@ -974,7 +1007,8 @@ def main():
                 log(f"[bench:gist] arm failed: {e}")
                 out["gist_960d"] = {"error": str(e)[:300]}
         emit(out)
-    if not on_cpu and os.environ.get("VSS_BENCH_IID", "1") == "1":
+    if (not on_cpu and os.environ.get("VSS_BENCH_IID", "1") == "1"
+            and "iid" not in out):
         dl = _arm_deadline("iid")
         if dl is not None:
             try:
@@ -1029,6 +1063,7 @@ def _supervise():
         env = dict(os.environ)
         env["VSS_BENCH_CHILD"] = "1"
         env["VSS_BENCH_HB"] = hb
+        env["VSS_BENCH_EMIT_FILE"] = hb + ".json"
         pathlib.Path(hb).touch()
         p = subprocess.Popen([sys.executable] + sys.argv, env=env)
         child[0] = p
