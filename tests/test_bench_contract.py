@@ -56,3 +56,29 @@ def test_graft_entry_contract():
     assert d.shape == i.shape == (64, 10)
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_bench_resume_file_roundtrip(tmp_path, monkeypatch):
+    """emit() mirrors the artifact to the supervisor's resume file and
+    _load_resume() reads it back — the mechanism that lets a relaunched
+    bench child inherit finished arm blocks instead of superseding a
+    richer earlier stdout line with a flagship-only one."""
+    sys.path.insert(0, _REPO)
+    import importlib
+
+    import bench
+
+    ef = str(tmp_path / "resume.json")
+    monkeypatch.setenv("VSS_BENCH_EMIT_FILE", ef)
+    obj = {"metric": "m", "value": 1.0, "iid": {"graph_recall": 0.92}}
+    bench.emit(obj)
+    assert os.path.exists(ef)
+    back = bench._load_resume()
+    assert back == obj
+    # corrupt file -> empty resume, never an exception
+    with open(ef, "w") as f:
+        f.write("{not json")
+    assert bench._load_resume() == {}
+    monkeypatch.delenv("VSS_BENCH_EMIT_FILE")
+    assert bench._load_resume() == {}
+    del importlib
