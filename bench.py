@@ -69,24 +69,49 @@ class ArmTimeout(Exception):
     its entire JSON line to an unbounded GIST build, BENCH_r03 rc=124)."""
 
 
-def emit(out):
+# Cross-attempt phase cache (peaks, GT stats) and the last-emitted
+# artifact object. Both ride the emit file so a relaunched child (watchdog
+# re-exec or supervisor restart) resumes mid-run instead of replaying
+# finished work — round 4 lost its driver artifact to exactly that replay
+# (the re-exec'd child redid the whole flagship inside the kill budget).
+_PHASES: dict = {}
+_LAST_OUT: dict = {}
+
+
+def emit(out, to_stdout=True):
     """Print the artifact JSON line NOW. Called after the flagship and
     re-called (with the enriched object) after every arm, so the last
     parseable stdout line always reflects everything measured so far.
     Under the supervisor, also mirror to the resume file: a relaunched
-    child merges completed arm blocks from it instead of re-running
-    them — and, crucially, its fresh flagship line would otherwise
-    SUPERSEDE a richer earlier line as 'the last parseable line'."""
-    print(json.dumps(out), flush=True)
+    child merges the completed flagship + arm blocks from it instead of
+    re-running them — and, crucially, its fresh flagship line would
+    otherwise SUPERSEDE a richer earlier line as 'the last parseable
+    line'. `to_stdout=False` updates only the resume file (phase cache
+    writes must never put a stub line on stdout, where the driver's
+    last-parseable-line rule would pick it up)."""
+    global _LAST_OUT
+    _LAST_OUT = out
+    if to_stdout:
+        print(json.dumps(out), flush=True)
     ef = os.environ.get("VSS_BENCH_EMIT_FILE")
     if ef:
         try:
+            payload = dict(out)
+            if _PHASES:
+                payload["_phases"] = _PHASES
             tmp = ef + ".tmp"
             with open(tmp, "w") as f:
-                f.write(json.dumps(out))
+                f.write(json.dumps(payload))
             os.replace(tmp, ef)
         except OSError:
             pass
+
+
+def _save_phase(key, val):
+    """Record a finished expensive sub-phase (MXU peaks, GT scan stats)
+    so a relaunched attempt skips it. File-only — never stdout."""
+    _PHASES[key] = val
+    emit(_LAST_OUT, to_stdout=False)
 
 
 def _load_resume() -> dict:
@@ -249,6 +274,21 @@ def measure_mxu_peaks():
 
 
 def main():
+    import signal
+
+    def _on_term(sig, frame):
+        # belt for the driver's kill: reprint the last complete artifact
+        # so the final stdout line is parseable even if the current phase
+        # never finishes (VERDICT r4 #2)
+        if _LAST_OUT.get("value") is not None:
+            print(json.dumps(_LAST_OUT), flush=True)
+        os._exit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env
+
     _ensure_backend()
     import jax
 
@@ -283,471 +323,539 @@ def main():
     BUILD = os.environ.get("VSS_BENCH_BUILD", "exact")
     N_SEEDS = int(os.environ.get("VSS_BENCH_SEEDS", 4))
     QBATCH = min(QBATCH, NQ)
+    RERANK = os.environ.get("VSS_BENCH_RERANK", "auto")
+    RECALL_TARGET = float(os.environ.get("VSS_BENCH_RECALL_TARGET", 0.90))
+    HI_TARGET = float(os.environ.get("VSS_BENCH_HI_TARGET", 0.95))
+    only_build = os.environ.get("VSS_BENCH_ONLY_BUILD") == "1"
 
     log(f"[bench] backend={jax.default_backend()} N={N} D={D} NQ={NQ} K={K} EF={EF}")
     DIST = os.environ.get("VSS_BENCH_DIST", "clustered")
-    rng = np.random.default_rng(0)
-    nb = max(NQ // QBATCH, 1)
-    NQ = nb * QBATCH
-    if DIST == "iid":
-        # adversarial near-orthogonal case: i.i.d. gaussian. No real ANN
-        # corpus looks like this (all pairs nearly equidistant as D
-        # grows), but it bounds recall from below.
-        vecs = rng.standard_normal((N, D)).astype(np.float32)
-        queries = rng.standard_normal((NQ, D)).astype(np.float32)
+
+    # ---- cross-attempt resume: a relaunched child inherits everything a
+    # previous (killed) child already measured — the complete flagship
+    # block skips straight to the arms (round 4's failure mode was the
+    # flagship replay), and finished arm blocks skip below.
+    resume = _load_resume()
+    if isinstance(resume, dict):
+        _PHASES.update(resume.pop("_phases", None) or {})
     else:
-        # SIFT-like synthetic (no dataset downloads in this environment):
-        # clustered points in [0, 255]^D, mirroring SIFT's byte-valued
-        # descriptors and cluster structure.
-        n_centers = max(64, N // 2000)
-        centers = rng.uniform(0, 255, (n_centers, D))
-        vecs = np.clip(
-            centers[rng.integers(0, n_centers, N)] + rng.normal(0, 25, (N, D)), 0, 255
-        ).astype(np.float32)
-        queries = np.clip(
-            centers[rng.integers(0, n_centers, NQ)] + rng.normal(0, 25, (NQ, D)), 0, 255
-        ).astype(np.float32)
-
-    RERANK = os.environ.get("VSS_BENCH_RERANK", "auto")
-    cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF,
-                     storage_dtype=STORAGE, rerank=RERANK)
-
-    only_build = os.environ.get("VSS_BENCH_ONLY_BUILD") == "1"
-    bf16_peak, f32h_peak = (
-        (0.0, 0.0) if on_cpu or only_build else measure_mxu_peaks()
+        resume = {}
+    flagship_done = (
+        not only_build and "mfu" in resume and "value" in resume
     )
+    if flagship_done:
+        out = dict(resume)
+        # errored/deferred arm blocks get another chance this attempt
+        for _rk in ("gist_960d", "iid"):
+            blk = out.get(_rk)
+            if isinstance(blk, dict) and ("error" in blk or "skipped" in blk):
+                del out[_rk]
+        emit(out, to_stdout=False)  # re-anchor _LAST_OUT for _save_phase
+        log("[bench] resumed complete flagship block from prior attempt")
+    else:
+        rng = np.random.default_rng(0)
+        nb = max(NQ // QBATCH, 1)
+        NQ = nb * QBATCH
+        if DIST == "iid":
+            # adversarial near-orthogonal case: i.i.d. gaussian. No real ANN
+            # corpus looks like this (all pairs nearly equidistant as D
+            # grows), but it bounds recall from below.
+            vecs = rng.standard_normal((N, D)).astype(np.float32)
+            queries = rng.standard_normal((NQ, D)).astype(np.float32)
+        else:
+            # SIFT-like synthetic (no dataset downloads in this environment):
+            # clustered points in [0, 255]^D, mirroring SIFT's byte-valued
+            # descriptors and cluster structure.
+            n_centers = max(64, N // 2000)
+            centers = rng.uniform(0, 255, (n_centers, D))
+            vecs = np.clip(
+                centers[rng.integers(0, n_centers, N)] + rng.normal(0, 25, (N, D)), 0, 255
+            ).astype(np.float32)
+            queries = np.clip(
+                centers[rng.integers(0, n_centers, NQ)] + rng.normal(0, 25, (NQ, D)), 0, 255
+            ).astype(np.float32)
 
-    # ---- ground truth + exact-scan rate (skipped for build-only runs)
-    if DEL_FRAC > 0:
-        dead = rng.choice(N, int(N * DEL_FRAC), replace=False)
-        alive_mask = np.ones(N, bool)
-        alive_mask[dead] = False
-    gt = gt_deleted = None
-    q_stack = None
-    if not only_build:
-        log("[bench] ground truth...")
-        xs = jnp.asarray(vecs)
-        q_stack = jnp.asarray(queries.reshape(nb, QBATCH, D))
-        gt_parts = []
-        for i in range(nb):
-            gt_parts.append(np.asarray(bruteforce_topk(q_stack[i], xs, K, METRIC)[1]))
-            log(f"[bench] ground truth batch {i + 1}/{nb}")
-        gt = np.concatenate(gt_parts)
+        cfg = HNSWConfig(dims=D, metric=METRIC, ef_search=EF,
+                         storage_dtype=STORAGE, rerank=RERANK)
 
-        @partial(jax.jit, static_argnames=("iters",))
-        def scan_loop(q_stack, xs, iters: int):
+        if on_cpu or only_build:
+            bf16_peak, f32h_peak = 0.0, 0.0
+        elif "peaks" in _PHASES:
+            bf16_peak, f32h_peak = _PHASES["peaks"]
+            log(f"[bench] resumed peaks from prior attempt: bf16={bf16_peak:.0f}"
+                f" TF/s, f32-HIGHEST={f32h_peak:.1f} TF/s")
+        else:
+            bf16_peak, f32h_peak = measure_mxu_peaks()
+            _save_phase("peaks", [bf16_peak, f32h_peak])
+
+        # ---- ground truth + exact-scan rate (skipped for build-only runs)
+        if DEL_FRAC > 0:
+            dead = rng.choice(N, int(N * DEL_FRAC), replace=False)
+            alive_mask = np.ones(N, bool)
+            alive_mask[dead] = False
+        gt = gt_deleted = None
+        q_stack = None
+        if not only_build:
+            q_stack = jnp.asarray(queries.reshape(nb, QBATCH, D))
+            # GT is deterministic (seeded data) and the scan rate is a stable
+            # measurement: cache both per DRIVER RUN (keyed on the wall-clock
+            # anchor the watchdog re-execs inherit) so a relaunched attempt
+            # skips ~40 s of GT batches. Never reused across rounds — a fresh
+            # driver run gets a fresh T0.
+            gt_file = os.path.join(
+                "/root/repo/.bench_cache",
+                f"gt_{DIST}_{N}_{D}_{NQ}_{K}_{METRIC}_{DEL_FRAC}_"
+                f"{int(_T0)}.npz",
+            )
+            if os.path.exists(gt_file):
+                z = np.load(gt_file)
+                gt = z["gt"]
+                gt_deleted = z["gt_deleted"] if "gt_deleted" in z.files else None
+                per_scan = float(z["per_scan"])
+                log("[bench] resumed ground truth + scan rate from this run's "
+                    "cache")
+            else:
+                log("[bench] ground truth...")
+                xs = jnp.asarray(vecs)
+                gt_parts = []
+                for i in range(nb):
+                    gt_parts.append(
+                        np.asarray(bruteforce_topk(q_stack[i], xs, K, METRIC)[1])
+                    )
+                    log(f"[bench] ground truth batch {i + 1}/{nb}")
+                gt = np.concatenate(gt_parts)
+
+                @partial(jax.jit, static_argnames=("iters",))
+                def scan_loop(q_stack, xs, iters: int):
+                    def body(i, carry):
+                        acc, delta = carry
+                        d, _ = bruteforce_topk(q_stack[i % nb] + delta, xs, K, METRIC)
+                        s = d[0, 0]
+                        return acc + s, delta + s * 1e-30
+
+                    acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
+                    return acc
+
+                per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 4, 20)
+
+                if DEL_FRAC > 0:
+                    _, ids2 = bruteforce_topk(
+                        q_stack[0], xs, K, METRIC, valid_mask=jnp.asarray(alive_mask)
+                    )
+                    gt_deleted = np.asarray(ids2)
+                del xs
+                jax.clear_caches()  # also drops cached scan workspaces
+                try:
+                    os.makedirs(os.path.dirname(gt_file), exist_ok=True)
+                    extra_z = (
+                        {"gt_deleted": gt_deleted} if gt_deleted is not None
+                        else {}
+                    )
+                    np.savez(gt_file, gt=gt, per_scan=per_scan, **extra_z)
+                except OSError:
+                    pass
+            brute_qps = QBATCH / per_scan
+            scan_tflops = 2 * QBATCH * N * D / per_scan / 1e12
+            scan_gb_s = (N * D * 4) / per_scan / 1e9
+            log(f"[bench] exact scan: {per_scan*1e3:.1f}ms/{QBATCH}-batch = "
+                f"{brute_qps:.0f} qps ({scan_tflops:.1f} TF/s model, "
+                f"{scan_gb_s:.0f} GB/s table stream)")
+
+        # ---- build
+        log("[bench] building index...")
+        t0 = time.perf_counter()
+
+        def _progress(done, n):
+            if done <= WAVE or done % (WAVE * 32) < WAVE or done >= n:
+                log(f"[bench] build {done}/{n} ({time.perf_counter() - t0:.0f}s)")
+
+        idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
+                              method=BUILD, progress=_progress)
+        # force real completion: fetch a scalar that depends on the last wave
+        _ = float(np.asarray(idx.graph.count))
+        build_cold_s = time.perf_counter() - t0
+        log(f"[bench] cold build {build_cold_s:.1f}s "
+            f"({N / build_cold_s:.0f} rows/s incl. one-time JIT)")
+        # Warm rebuild: jit compiles are per-process on this backend (the
+        # persistent cache never serves the tunneled remote compiles), so a
+        # fresh process's first build pays ~60-90s of one-time program
+        # compilation at 1M — not index work. The steady-state rate is what a
+        # long-lived serving process sees for every build/rebuild/compact
+        # after its first; report both and headline the warm one.
+        build_s = build_cold_s
+        # _remaining() guard: the warm rebuild is an optional refinement and
+        # must never be what eats the kill budget (r04's re-exec'd child was
+        # killed inside exactly this phase)
+        if (os.environ.get("VSS_BENCH_WARM_BUILD", "1") == "1" and not on_cpu
+                and _remaining() > 420):
+            del idx
+            t0 = time.perf_counter()
+            idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
+                                  method=BUILD, progress=_progress)
+            _ = float(np.asarray(idx.graph.count))
+            build_s = time.perf_counter() - t0
+        build_rows_per_s = N / build_s
+        log(f"[bench] build {build_s:.1f}s ({build_rows_per_s:.0f} rows/s)")
+        if os.environ.get("VSS_BENCH_ONLY_BUILD") == "1":
+            print(json.dumps({
+                "metric": f"build_rows_per_s_n{N}_d{D}", "value": round(build_rows_per_s, 1),
+                "unit": "rows/s", "vs_baseline": round(build_rows_per_s / 10_000, 4),
+                "build_seconds": round(build_s, 1),
+                "build_seconds_cold": round(build_cold_s, 1),
+                "backend": jax.default_backend(),
+            }))
+            return
+
+        # ---- search (slope-timed in-graph over the batch stack)
+        graph, config = idx.graph, idx.config
+        allow = graph.valid
+        fused_env = os.environ.get("VSS_BENCH_FUSED")
+        fused = (fused_env == "1") if fused_env is not None else _default_fused(graph)
+        scale = idx.vector_scale
+        p_slots, p_vecs = idx.pivots() if N_SEEDS > 0 else (None, None)
+        x_norms = idx.norms()
+        p_tab, p_pack = idx.packed_tape()
+        r_tape = idx.rerank_tape  # exact-rescore side tape (None unless int8)
+        if fused and graph.vectors.dtype != jnp.float32 and p_tab is None:
+            fused = False
+
+        def q_scaled(qs):
+            return qs / scale if STORAGE == "int8" else qs
+
+        # (the round-3/4 group-fetch A/B lived here; the path lost 3.4x at
+        # equal eval counts and was deleted — see docs/BENCH.md)
+
+        def _impl(g_, al_, qb_, ef, rt):
+            # g_/al_/rt are threaded through jit ARGUMENTS by callers —
+            # closure-capturing them would embed hundreds of MB as HLO
+            # constants and blow the remote-compile tunnel (HTTP 413)
+            return _hnsw_search_impl(
+                g_, config, qb_, al_, K, ef, ESEARCH, 0, False, True,
+                fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack, rt,
+            )
+
+        # NB: r_tape is a jit ARGUMENT — a closure-captured device array is
+        # embedded as an HLO constant, and the 512 MB side tape blew the
+        # remote-compile tunnel's request-body limit (HTTP 413)
+        @partial(jax.jit, static_argnames=("iters", "ef"))
+        def search_loop(graph, q_stack, allow, rt, iters: int, ef: int):
             def body(i, carry):
                 acc, delta = carry
-                d, _ = bruteforce_topk(q_stack[i % nb] + delta, xs, K, METRIC)
+                q = q_scaled(q_stack[i % nb]) + delta
+                d, sl, it, ev = _impl(graph, allow, q, ef, rt)
                 s = d[0, 0]
                 return acc + s, delta + s * 1e-30
 
             acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
             return acc
 
-        per_scan = _slope(lambda it: scan_loop(q_stack, xs, it), 4, 20)
-        brute_qps = QBATCH / per_scan
-        scan_tflops = 2 * QBATCH * N * D / per_scan / 1e12
-        scan_gb_s = (N * D * 4) / per_scan / 1e9
-        log(f"[bench] exact scan: {per_scan*1e3:.1f}ms/{QBATCH}-batch = "
-            f"{brute_qps:.0f} qps ({scan_tflops:.1f} TF/s model, "
-            f"{scan_gb_s:.0f} GB/s table stream)")
+        points = {}  # ef -> (qps, recall, per_batch, evals, iters)
 
-        if DEL_FRAC > 0:
-            _, ids2 = bruteforce_topk(
-                q_stack[0], xs, K, METRIC, valid_mask=jnp.asarray(alive_mask)
+        def run_at(ef):
+            per = _slope(
+                lambda it: search_loop(graph, q_stack, allow, r_tape, it, ef),
+                2, 8,
             )
-            gt_deleted = np.asarray(ids2)
-        del xs
-        jax.clear_caches()  # also drops cached scan workspaces
-
-    # ---- build
-    log("[bench] building index...")
-    t0 = time.perf_counter()
-
-    def _progress(done, n):
-        if done <= WAVE or done % (WAVE * 32) < WAVE or done >= n:
-            log(f"[bench] build {done}/{n} ({time.perf_counter() - t0:.0f}s)")
-
-    idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
-                          method=BUILD, progress=_progress)
-    # force real completion: fetch a scalar that depends on the last wave
-    _ = float(np.asarray(idx.graph.count))
-    build_cold_s = time.perf_counter() - t0
-    log(f"[bench] cold build {build_cold_s:.1f}s "
-        f"({N / build_cold_s:.0f} rows/s incl. one-time JIT)")
-    # Warm rebuild: jit compiles are per-process on this backend (the
-    # persistent cache never serves the tunneled remote compiles), so a
-    # fresh process's first build pays ~60-90s of one-time program
-    # compilation at 1M — not index work. The steady-state rate is what a
-    # long-lived serving process sees for every build/rebuild/compact
-    # after its first; report both and headline the warm one.
-    build_s = build_cold_s
-    if os.environ.get("VSS_BENCH_WARM_BUILD", "1") == "1" and not on_cpu:
-        del idx
-        t0 = time.perf_counter()
-        idx = HNSWIndex.build(vecs, cfg, wave_size=WAVE, expand=EXPAND,
-                              method=BUILD, progress=_progress)
-        _ = float(np.asarray(idx.graph.count))
-        build_s = time.perf_counter() - t0
-    build_rows_per_s = N / build_s
-    log(f"[bench] build {build_s:.1f}s ({build_rows_per_s:.0f} rows/s)")
-    if os.environ.get("VSS_BENCH_ONLY_BUILD") == "1":
-        print(json.dumps({
-            "metric": f"build_rows_per_s_n{N}_d{D}", "value": round(build_rows_per_s, 1),
-            "unit": "rows/s", "vs_baseline": round(build_rows_per_s / 10_000, 4),
-            "build_seconds": round(build_s, 1),
-            "build_seconds_cold": round(build_cold_s, 1),
-            "backend": jax.default_backend(),
-        }))
-        return
-
-    # ---- search (slope-timed in-graph over the batch stack)
-    graph, config = idx.graph, idx.config
-    allow = graph.valid
-    fused_env = os.environ.get("VSS_BENCH_FUSED")
-    fused = (fused_env == "1") if fused_env is not None else _default_fused(graph)
-    scale = idx.vector_scale
-    p_slots, p_vecs = idx.pivots() if N_SEEDS > 0 else (None, None)
-    x_norms = idx.norms()
-    p_tab, p_pack = idx.packed_tape()
-    r_tape = idx.rerank_tape  # exact-rescore side tape (None unless int8)
-    if fused and graph.vectors.dtype != jnp.float32 and p_tab is None:
-        fused = False
-
-    def q_scaled(qs):
-        return qs / scale if STORAGE == "int8" else qs
-
-    # (the round-3/4 group-fetch A/B lived here; the path lost 3.4x at
-    # equal eval counts and was deleted — see docs/BENCH.md)
-
-    def _impl(g_, al_, qb_, ef, rt):
-        # g_/al_/rt are threaded through jit ARGUMENTS by callers —
-        # closure-capturing them would embed hundreds of MB as HLO
-        # constants and blow the remote-compile tunnel (HTTP 413)
-        return _hnsw_search_impl(
-            g_, config, qb_, al_, K, ef, ESEARCH, 0, False, True,
-            fused, p_slots, p_vecs, N_SEEDS, x_norms, p_tab, p_pack, rt,
-        )
-
-    # NB: r_tape is a jit ARGUMENT — a closure-captured device array is
-    # embedded as an HLO constant, and the 512 MB side tape blew the
-    # remote-compile tunnel's request-body limit (HTTP 413)
-    @partial(jax.jit, static_argnames=("iters", "ef"))
-    def search_loop(graph, q_stack, allow, rt, iters: int, ef: int):
-        def body(i, carry):
-            acc, delta = carry
-            q = q_scaled(q_stack[i % nb]) + delta
-            d, sl, it, ev = _impl(graph, allow, q, ef, rt)
-            s = d[0, 0]
-            return acc + s, delta + s * 1e-30
-
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
-        return acc
-
-    points = {}  # ef -> (qps, recall, per_batch, evals, iters)
-
-    def run_at(ef):
-        per = _slope(
-            lambda it: search_loop(graph, q_stack, allow, r_tape, it, ef),
-            2, 8,
-        )
-        qps = QBATCH / per
-        rowss, evals_tot, iters_max = [], 0, 0
-        for i in range(nb):
-            d, sl, iters, evals = _impl(
-                graph, allow, q_scaled(q_stack[i]), ef, r_tape,
+            qps = QBATCH / per
+            rowss, evals_tot, iters_max = [], 0, 0
+            for i in range(nb):
+                d, sl, iters, evals = _impl(
+                    graph, allow, q_scaled(q_stack[i]), ef, r_tape,
+                )
+                rowss.append(np.asarray(
+                    jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
+                ))
+                evals_tot += int(evals)
+                iters_max = max(iters_max, int(iters))
+            got = np.concatenate(rowss)
+            hits = sum(
+                len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                for a, b in zip(got, gt)
             )
-            rowss.append(np.asarray(
-                jnp.where(sl >= 0, jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)), -1)
-            ))
-            evals_tot += int(evals)
-            iters_max = max(iters_max, int(iters))
-        got = np.concatenate(rowss)
-        hits = sum(
-            len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
-            for a, b in zip(got, gt)
-        )
-        res = (qps, hits / (NQ * K), per, evals_tot / nb, iters_max)
-        points[ef] = res
-        return res
+            res = (qps, hits / (NQ * K), per, evals_tot / nb, iters_max)
+            points[ef] = res
+            return res
 
-    RECALL_TARGET = float(os.environ.get("VSS_BENCH_RECALL_TARGET", 0.90))
-    ef_used = max(EF, K)
-    log("[bench] searching...")
-    qps, rec, per_b, evals_b, iters_b = run_at(ef_used)
-    log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f} "
-        f"(fused={fused}, {iters_b} iters, {evals_b:.0f} evals/batch)")
-    for ef_try in (96, 128, 192):
-        if rec >= RECALL_TARGET or ef_try <= ef_used:
-            break
-        ef_used = ef_try
+        ef_used = max(EF, K)
+        log("[bench] searching...")
         qps, rec, per_b, evals_b, iters_b = run_at(ef_used)
-        log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f}")
-    # descend while the target still holds: ef is a pure speed/recall
-    # knob and the reported number should be the cheapest setting that
-    # meets the BASELINE recall bar (the reference tunes ef_search the
-    # same way via the hnsw_ef_search setting)
-    if os.environ.get("VSS_BENCH_EF_DESCEND", "1") == "1":
-        for ef_try in (48, 32, 24, 16):
-            if rec < RECALL_TARGET or ef_try >= ef_used or ef_try < K:
+        log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f} "
+            f"(fused={fused}, {iters_b} iters, {evals_b:.0f} evals/batch)")
+        for ef_try in (96, 128, 192):
+            if rec >= RECALL_TARGET or ef_try <= ef_used:
                 break
-            q2, r2, p2, e2, i2 = run_at(ef_try)
-            log(f"[bench] ef={ef_try}: {q2:.0f} qps recall@{K}={r2:.4f}")
-            if r2 < RECALL_TARGET:
-                break
-            ef_used, qps, rec, per_b, evals_b, iters_b = (
-                ef_try, q2, r2, p2, e2, i2
-            )
+            ef_used = ef_try
+            qps, rec, per_b, evals_b, iters_b = run_at(ef_used)
+            log(f"[bench] ef={ef_used}: {qps:.0f} qps recall@{K}={rec:.4f}")
+        # descend while the target still holds: ef is a pure speed/recall
+        # knob and the reported number should be the cheapest setting that
+        # meets the BASELINE recall bar (the reference tunes ef_search the
+        # same way via the hnsw_ef_search setting)
+        if os.environ.get("VSS_BENCH_EF_DESCEND", "1") == "1":
+            for ef_try in (48, 32, 24, 16):
+                if rec < RECALL_TARGET or ef_try >= ef_used or ef_try < K:
+                    break
+                q2, r2, p2, e2, i2 = run_at(ef_try)
+                log(f"[bench] ef={ef_try}: {q2:.0f} qps recall@{K}={r2:.4f}")
+                if r2 < RECALL_TARGET:
+                    break
+                ef_used, qps, rec, per_b, evals_b, iters_b = (
+                    ef_try, q2, r2, p2, e2, i2
+                )
 
-    gather_mode = "fused" if fused else "xla-take"
+        gather_mode = "fused" if fused else "xla-take"
 
-    # ---- dual operating point: cheapest ef with recall >= 0.95
-    HI_TARGET = float(os.environ.get("VSS_BENCH_HI_TARGET", 0.95))
-    hi_point = None
-    if os.environ.get("VSS_BENCH_HI_POINT", "1") == "1":
-        for ef_try in (64, 96, 128, 192):
+        # ---- dual operating point: cheapest ef with recall >= 0.95
+        hi_point = None
+        if os.environ.get("VSS_BENCH_HI_POINT", "1") == "1" and _remaining() > 150:
+            for ef_try in (64, 96, 128, 192):
+                ok_pts = {e: p for e, p in points.items() if p[1] >= HI_TARGET}
+                if ok_pts:
+                    break
+                if ef_try <= max(points):
+                    continue
+                q4, r4, *_ = run_at(ef_try)
+                log(f"[bench] hi-point ef={ef_try}: {q4:.0f} qps "
+                    f"recall@{K}={r4:.4f}")
             ok_pts = {e: p for e, p in points.items() if p[1] >= HI_TARGET}
             if ok_pts:
-                break
-            if ef_try <= max(points):
-                continue
-            q4, r4, *_ = run_at(ef_try)
-            log(f"[bench] hi-point ef={ef_try}: {q4:.0f} qps "
-                f"recall@{K}={r4:.4f}")
-        ok_pts = {e: p for e, p in points.items() if p[1] >= HI_TARGET}
-        if ok_pts:
-            e95 = min(ok_pts)
-            hi_point = {"ef": e95, "qps": round(ok_pts[e95][0], 1),
-                        "recall": round(ok_pts[e95][1], 4)}
+                e95 = min(ok_pts)
+                hi_point = {"ef": e95, "qps": round(ok_pts[e95][0], 1),
+                            "recall": round(ok_pts[e95][1], 4)}
 
-    row_bytes = D * {"f32": 4, "bf16": 2, "int8": 1}[STORAGE]
-    gather_gb_s = evals_b * row_bytes / per_b / 1e9
+        row_bytes = D * {"f32": 4, "bf16": 2, "int8": 1}[STORAGE]
+        gather_gb_s = evals_b * row_bytes / per_b / 1e9
 
-    # ---- storage-native exact scan as a serving path (ops/scan.py):
-    # one pass over the int8/bf16 tape at DEFAULT precision + segment
-    # rescore + exact f32 rerank. Exact w.r.t. the rerank tape, so its
-    # recall bounds the graph path's from above.
-    scan_block = None
-    if not on_cpu and os.environ.get("VSS_BENCH_SCANSERVE", "1") == "1":
-        from vss_tpu.ops.scan import native_scan_supported, scan_topk
+        # ---- storage-native exact scan as a serving path (ops/scan.py):
+        # one pass over the int8/bf16 tape at DEFAULT precision + segment
+        # rescore + exact f32 rerank. Exact w.r.t. the rerank tape, so its
+        # recall bounds the graph path's from above.
+        scan_block = None
+        if not on_cpu and os.environ.get("VSS_BENCH_SCANSERVE", "1") == "1":
+            from vss_tpu.ops.scan import native_scan_supported, scan_topk
 
-        if native_scan_supported(graph.vectors.dtype):
-            vmask = graph.valid
+            if native_scan_supported(graph.vectors.dtype):
+                vmask = graph.valid
 
-            @partial(jax.jit, static_argnames=("iters",))
-            def scan_serve_loop(q_stack, tape, xn_t, vmask, rt, iters: int):
-                def body(i, carry):
-                    acc, delta = carry
-                    d, _ = scan_topk(
-                        q_scaled(q_stack[i % nb]) + delta, tape, K, METRIC,
-                        valid_mask=vmask, x_norms=xn_t, rerank_tape=rt,
+                @partial(jax.jit, static_argnames=("iters",))
+                def scan_serve_loop(q_stack, tape, xn_t, vmask, rt, iters: int):
+                    def body(i, carry):
+                        acc, delta = carry
+                        d, _ = scan_topk(
+                            q_scaled(q_stack[i % nb]) + delta, tape, K, METRIC,
+                            valid_mask=vmask, x_norms=xn_t, rerank_tape=rt,
+                        )
+                        s = d[0, 0]
+                        return acc + s, delta + s * 1e-30
+
+                    acc, _ = jax.lax.fori_loop(
+                        0, iters, body, (jnp.float32(0), jnp.float32(0))
                     )
-                    s = d[0, 0]
-                    return acc + s, delta + s * 1e-30
+                    return acc
 
-                acc, _ = jax.lax.fori_loop(
-                    0, iters, body, (jnp.float32(0), jnp.float32(0))
-                )
-                return acc
+                try:
+                    per_s = _slope(
+                        lambda it: scan_serve_loop(
+                            q_stack, graph.vectors, x_norms, vmask, r_tape, it
+                        ),
+                        2, 8,
+                    )
+                    srows = []
+                    for i in range(nb):
+                        _, sl = scan_topk(
+                            q_scaled(q_stack[i]), graph.vectors, K, METRIC,
+                            valid_mask=vmask, x_norms=x_norms, rerank_tape=r_tape,
+                        )
+                        srows.append(np.asarray(jnp.where(
+                            sl >= 0,
+                            jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)),
+                            -1,
+                        )))
+                    sgot = np.concatenate(srows)
+                    shits = sum(
+                        len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                        for a, b in zip(sgot, gt)
+                    )
+                    s_rec = shits / (NQ * K)
+                    s_qps = QBATCH / per_s
+                    scan_block = {
+                        "qps": round(s_qps, 1),
+                        "recall": round(s_rec, 4),
+                        "ms_per_batch": round(per_s * 1e3, 2),
+                        "tape_stream_gb_s": round(N * row_bytes / per_s / 1e9, 1),
+                    }
+                    log(f"[bench] scan-serve: {s_qps:.0f} qps "
+                        f"recall@{K}={s_rec:.4f} ({per_s*1e3:.1f} ms/batch)")
+                except Exception as e:  # pragma: no cover - chip-side only
+                    log(f"[bench] scan-serve failed: {e}")
+                    scan_block = {"error": str(e)[:200]}
 
+        # the ENGINE owns the serving decision (query/cost.serving_path — the
+        # same model the SQL planner uses to emit EXACT_SCAN_TOPK); the bench
+        # asks it, reports the predicted path, and headlines the measured
+        # winner with a disagreement marker if the model mispredicts
+        from vss_tpu.query.cost import serving_path as _cost_path
+
+        model_path = _cost_path(
+            N, D, jnp.dtype(graph.vectors.dtype).itemsize, QBATCH, ef_used,
+            config.m0, ESEARCH,
+        )
+        serving_path = "graph"
+        head_qps, head_rec, head_ef = qps, rec, ef_used
+        if (scan_block and "qps" in scan_block
+                and scan_block["recall"] >= RECALL_TARGET
+                and scan_block["qps"] > head_qps):
+            serving_path = "scan"
+            head_qps, head_rec = scan_block["qps"], scan_block["recall"]
+            head_ef = None
+        if model_path != serving_path:
+            log(f"[bench] cost model predicted {model_path}, measured winner "
+                f"is {serving_path} — refit query/cost.py constants")
+
+        # ---- SQL-path serving: the same batched workload through the FULL
+        # engine (Database -> planner -> EXACT_SCAN_JOIN -> fetch), so the
+        # headline operator is measured behind the SQL surface, not just as
+        # a raw kernel. Python/fetch overhead is the delta vs scan-serve.
+        sql_block = None
+        if (not on_cpu and os.environ.get("VSS_BENCH_SQL", "1") == "1"
+                and _remaining() > 120
+                and scan_block and "qps" in scan_block):
             try:
-                per_s = _slope(
-                    lambda it: scan_serve_loop(
-                        q_stack, graph.vectors, x_norms, vmask, r_tape, it
+                from vss_tpu.query.api import col
+                from vss_tpu.query.table import Database, IndexEntry
+
+                dbb = Database()
+                dbb.create_table(
+                    "corpus",
+                    {"id": np.arange(N, dtype=np.int64), "vec": vecs},
+                )
+                dbb.indexes["bench_idx"] = IndexEntry(
+                    name="bench_idx", table="corpus", column="vec", index=idx
+                )
+                dbb.create_table(
+                    "qs",
+                    {"qid": np.arange(QBATCH, dtype=np.int64),
+                     "vec": queries[:QBATCH]},
+                )
+                dbb.set_setting("hnsw_cost_model", True)
+                qj = (
+                    dbb.query("qs")
+                    .knn_join("corpus", "vec", col("vec"), K)
+                    .select("row_number", qid=col("l_qid"), rid=col("r_id"))
+                )
+                plan = qj.explain()
+                _ = qj.execute()  # warm (jit + caches)
+                reps = 3
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    _ = qj.execute()
+                per_q = (time.perf_counter() - t0) / reps
+                sql_block = {
+                    "qps": round(QBATCH / per_q, 1),
+                    "ms_per_batch": round(per_q * 1e3, 2),
+                    "operator": (
+                        "EXACT_SCAN_JOIN" if "EXACT_SCAN_JOIN" in plan
+                        else plan.splitlines()[0][:60]
                     ),
-                    2, 8,
-                )
-                srows = []
-                for i in range(nb):
-                    _, sl = scan_topk(
-                        q_scaled(q_stack[i]), graph.vectors, K, METRIC,
-                        valid_mask=vmask, x_norms=x_norms, rerank_tape=r_tape,
-                    )
-                    srows.append(np.asarray(jnp.where(
-                        sl >= 0,
-                        jnp.take(graph.slot_to_rowid, jnp.maximum(sl, 0)),
-                        -1,
-                    )))
-                sgot = np.concatenate(srows)
-                shits = sum(
-                    len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
-                    for a, b in zip(sgot, gt)
-                )
-                s_rec = shits / (NQ * K)
-                s_qps = QBATCH / per_s
-                scan_block = {
-                    "qps": round(s_qps, 1),
-                    "recall": round(s_rec, 4),
-                    "ms_per_batch": round(per_s * 1e3, 2),
-                    "tape_stream_gb_s": round(N * row_bytes / per_s / 1e9, 1),
+                    "vs_scan_serve": round(
+                        (QBATCH / per_q) / scan_block["qps"], 3
+                    ),
                 }
-                log(f"[bench] scan-serve: {s_qps:.0f} qps "
-                    f"recall@{K}={s_rec:.4f} ({per_s*1e3:.1f} ms/batch)")
-            except Exception as e:  # pragma: no cover - chip-side only
-                log(f"[bench] scan-serve failed: {e}")
-                scan_block = {"error": str(e)[:200]}
+                log(f"[bench] sql-serve: {sql_block['qps']:.0f} qps via "
+                    f"{sql_block['operator']} "
+                    f"({sql_block['vs_scan_serve']:.2f}x of raw scan-serve)")
+                del dbb
+            except Exception as e:
+                log(f"[bench] sql-serve failed: {e}")
+                sql_block = {"error": str(e)[:200]}
 
-    # the ENGINE owns the serving decision (query/cost.serving_path — the
-    # same model the SQL planner uses to emit EXACT_SCAN_TOPK); the bench
-    # asks it, reports the predicted path, and headlines the measured
-    # winner with a disagreement marker if the model mispredicts
-    from vss_tpu.query.cost import serving_path as _cost_path
+        extra = {}
+        if DEL_FRAC > 0 and _remaining() < 150:
+            extra["deletes_skipped"] = f"time budget ({_remaining():.0f}s left)"
+            log(f"[bench] deletes+compact skipped: {_remaining():.0f}s left")
+        elif DEL_FRAC > 0:
+            n_del = int(N * DEL_FRAC)
+            log(f"[bench] deleting {n_del} rows + compact + requery...")
+            idx.delete(dead.tolist())
+            idx.compact()
+            # post-compact correctness is a recall bar of its own: escalate ef
+            # independently of the throughput-optimal setting picked above
+            ef2 = max(ef_used, EF)
+            while True:
+                d2, rows2 = idx.search(np.asarray(q_stack[0]), k=K, ef=ef2)
+                hits2 = sum(
+                    len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
+                    for a, b in zip(np.asarray(rows2), gt_deleted)
+                )
+                rec2 = hits2 / gt_deleted.size
+                log(f"[bench] post-compact ef={ef2}: recall@{K}={rec2:.4f}")
+                if rec2 >= RECALL_TARGET or ef2 >= 192:
+                    break
+                ef2 = min(2 * ef2, 192)
+            extra["recall_after_compact"] = round(rec2, 4)
+            extra["ef_after_compact"] = ef2
+            extra["deleted_fraction"] = DEL_FRAC
 
-    model_path = _cost_path(
-        N, D, jnp.dtype(graph.vectors.dtype).itemsize, QBATCH, ef_used,
-        config.m0, ESEARCH,
-    )
-    serving_path = "graph"
-    head_qps, head_rec, head_ef = qps, rec, ef_used
-    if (scan_block and "qps" in scan_block
-            and scan_block["recall"] >= RECALL_TARGET
-            and scan_block["qps"] > head_qps):
-        serving_path = "scan"
-        head_qps, head_rec = scan_block["qps"], scan_block["recall"]
-        head_ef = None
-    if model_path != serving_path:
-        log(f"[bench] cost model predicted {model_path}, measured winner "
-            f"is {serving_path} — refit query/cost.py constants")
-
-    # ---- SQL-path serving: the same batched workload through the FULL
-    # engine (Database -> planner -> EXACT_SCAN_JOIN -> fetch), so the
-    # headline operator is measured behind the SQL surface, not just as
-    # a raw kernel. Python/fetch overhead is the delta vs scan-serve.
-    sql_block = None
-    if (not on_cpu and os.environ.get("VSS_BENCH_SQL", "1") == "1"
-            and scan_block and "qps" in scan_block):
-        try:
-            from vss_tpu.query.api import col
-            from vss_tpu.query.table import Database, IndexEntry
-
-            dbb = Database()
-            dbb.create_table(
-                "corpus",
-                {"id": np.arange(N, dtype=np.int64), "vec": vecs},
-            )
-            dbb.indexes["bench_idx"] = IndexEntry(
-                name="bench_idx", table="corpus", column="vec", index=idx
-            )
-            dbb.create_table(
-                "qs",
-                {"qid": np.arange(QBATCH, dtype=np.int64),
-                 "vec": queries[:QBATCH]},
-            )
-            dbb.set_setting("hnsw_cost_model", True)
-            qj = (
-                dbb.query("qs")
-                .knn_join("corpus", "vec", col("vec"), K)
-                .select("row_number", qid=col("l_qid"), rid=col("r_id"))
-            )
-            plan = qj.explain()
-            _ = qj.execute()  # warm (jit + caches)
-            reps = 3
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                _ = qj.execute()
-            per_q = (time.perf_counter() - t0) / reps
-            sql_block = {
-                "qps": round(QBATCH / per_q, 1),
-                "ms_per_batch": round(per_q * 1e3, 2),
-                "operator": (
-                    "EXACT_SCAN_JOIN" if "EXACT_SCAN_JOIN" in plan
-                    else plan.splitlines()[0][:60]
-                ),
-                "vs_scan_serve": round(
-                    (QBATCH / per_q) / scan_block["qps"], 3
-                ),
-            }
-            log(f"[bench] sql-serve: {sql_block['qps']:.0f} qps via "
-                f"{sql_block['operator']} "
-                f"({sql_block['vs_scan_serve']:.2f}x of raw scan-serve)")
-            del dbb
-        except Exception as e:
-            log(f"[bench] sql-serve failed: {e}")
-            sql_block = {"error": str(e)[:200]}
-
-    extra = {}
-    if DEL_FRAC > 0:
-        n_del = int(N * DEL_FRAC)
-        log(f"[bench] deleting {n_del} rows + compact + requery...")
-        idx.delete(dead.tolist())
-        idx.compact()
-        # post-compact correctness is a recall bar of its own: escalate ef
-        # independently of the throughput-optimal setting picked above
-        ef2 = max(ef_used, EF)
-        while True:
-            d2, rows2 = idx.search(np.asarray(q_stack[0]), k=K, ef=ef2)
-            hits2 = sum(
-                len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist()))
-                for a, b in zip(np.asarray(rows2), gt_deleted)
-            )
-            rec2 = hits2 / gt_deleted.size
-            log(f"[bench] post-compact ef={ef2}: recall@{K}={rec2:.4f}")
-            if rec2 >= RECALL_TARGET or ef2 >= 192:
-                break
-            ef2 = min(2 * ef2, 192)
-        extra["recall_after_compact"] = round(rec2, 4)
-        extra["ef_after_compact"] = ef2
-        extra["deleted_fraction"] = DEL_FRAC
-
-    out = {
-        "metric": (
-            f"synthetic_{'iid' if DIST == 'iid' else 'sift'}"
-            f"_n{N}_d{D}_{METRIC}_qps_per_chip"
-        ),
-        "value": round(head_qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(head_qps / 10_000.0, 4),
-        "recall_at_k": round(head_rec, 4),
-        "k": K,
-        "ef_search": head_ef,
-        "serving_path": serving_path,
-        "serving_path_model": model_path,
-        "graph_qps": round(qps, 1),
-        "graph_recall": round(rec, 4),
-        "graph_ef": ef_used,
-        "gather_mode": gather_mode,
-        "qps_at_recall_0_95": hi_point,
-        "scan_serve": scan_block,
-        "sql_serve": sql_block,
-        "fused_gather": bool(fused),
-        "build_rows_per_s": round(build_rows_per_s, 1),
-        "build_seconds": round(build_s, 1),
-        "build_seconds_cold": round(build_cold_s, 1),
-        "brute_force_qps": round(brute_qps, 1),
-        "storage": STORAGE,
-        "backend": jax.default_backend(),
-        # --- speed-of-light audit (BASELINE.md kernel clause) ---
-        "mfu": {
-            "measured_bf16_peak_tflops": round(bf16_peak, 1),
-            "measured_f32_highest_peak_tflops": round(f32h_peak, 1),
-            "exact_scan_model_tflops": round(scan_tflops, 2),
-            "exact_scan_vs_f32_highest_peak": round(
-                scan_tflops / f32h_peak, 3
-            ) if f32h_peak else None,
-            "exact_scan_table_stream_gb_s": round(scan_gb_s, 1),
-            "exact_scan_vs_hbm_peak": round(scan_gb_s / HBM_PEAK_GB_S, 3),
-            "search_gather_gb_s": round(gather_gb_s, 2),
-            "search_gather_vs_hbm_peak": round(
-                gather_gb_s / HBM_PEAK_GB_S, 4
+        out = {
+            "metric": (
+                f"synthetic_{'iid' if DIST == 'iid' else 'sift'}"
+                f"_n{N}_d{D}_{METRIC}_qps_per_chip"
             ),
-            "search_evals_per_batch": round(evals_b, 0),
-            "search_beam_iters": iters_b,
-        },
-        **extra,
-    }
-    # Flagship lands NOW: round 3 lost its entire artifact because the
-    # one json.dumps at the very end never ran (rc=124 mid-GIST-arm).
-    # Every later emit() reprints the enriched object, so the LAST
-    # parseable stdout line always reflects everything measured so far.
-    # A supervisor-relaunched child inherits arm blocks a previous child
-    # already finished (and skips re-running those arms below).
-    _resume = _load_resume()
-    for _rk in ("gist_960d", "iid"):
-        if _rk in _resume and "error" not in _resume[_rk]:
-            out[_rk] = _resume[_rk]
-            log(f"[bench] resumed {_rk} block from prior attempt")
-    emit(out)
+            "value": round(head_qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(head_qps / 10_000.0, 4),
+            "recall_at_k": round(head_rec, 4),
+            "k": K,
+            "ef_search": head_ef,
+            "serving_path": serving_path,
+            "serving_path_model": model_path,
+            "graph_qps": round(qps, 1),
+            "graph_recall": round(rec, 4),
+            "graph_ef": ef_used,
+            "gather_mode": gather_mode,
+            "qps_at_recall_0_95": hi_point,
+            "scan_serve": scan_block,
+            "sql_serve": sql_block,
+            "fused_gather": bool(fused),
+            "build_rows_per_s": round(build_rows_per_s, 1),
+            "build_seconds": round(build_s, 1),
+            "build_seconds_cold": round(build_cold_s, 1),
+            "brute_force_qps": round(brute_qps, 1),
+            "storage": STORAGE,
+            "backend": jax.default_backend(),
+            # --- speed-of-light audit (BASELINE.md kernel clause) ---
+            "mfu": {
+                "measured_bf16_peak_tflops": round(bf16_peak, 1),
+                "measured_f32_highest_peak_tflops": round(f32h_peak, 1),
+                "exact_scan_model_tflops": round(scan_tflops, 2),
+                "exact_scan_vs_f32_highest_peak": round(
+                    scan_tflops / f32h_peak, 3
+                ) if f32h_peak else None,
+                "exact_scan_table_stream_gb_s": round(scan_gb_s, 1),
+                "exact_scan_vs_hbm_peak": round(scan_gb_s / HBM_PEAK_GB_S, 3),
+                "search_gather_gb_s": round(gather_gb_s, 2),
+                "search_gather_vs_hbm_peak": round(
+                    gather_gb_s / HBM_PEAK_GB_S, 4
+                ),
+                "search_evals_per_batch": round(evals_b, 0),
+                "search_beam_iters": iters_b,
+            },
+            **extra,
+        }
+        # Flagship lands NOW: round 3 lost its entire artifact because the
+        # one json.dumps at the very end never ran (rc=124 mid-GIST-arm).
+        # Every later emit() reprints the enriched object, so the LAST
+        # parseable stdout line always reflects everything measured so far.
+        # A relaunched child inherits arm blocks a previous child already
+        # finished (and skips re-running those arms below).
+        for _rk in ("gist_960d", "iid"):
+            blk = resume.get(_rk)
+            if (isinstance(blk, dict) and "error" not in blk
+                    and "skipped" not in blk):
+                out[_rk] = blk
+                log(f"[bench] resumed {_rk} block from prior attempt")
+        # free the flagship's device state before the arms build their own
+        del idx, graph, r_tape, p_tab, x_norms, p_slots, p_vecs, allow
 
     def run_arm(name, a_vecs, a_queries, a_metric, ef0, deadline=None,
                 m=None, ladder=(128, 192)):
@@ -956,13 +1064,13 @@ def main():
         del aidx
         return block
 
+    emit(out)
+
     # ---- additional recorded configs (BASELINE.md table): GIST-analog
     # 960-d cosine and the adversarial iid distribution. Each arm runs
     # end-to-end (GT -> build -> ladder -> scan A/B) in this process and
     # lands as a sub-object of the single JSON line; a wedged arm records
     # its error instead of killing the artifact.
-    del idx, graph, r_tape, p_tab, x_norms, p_slots, p_vecs, allow
-
     def _arm_deadline(key):
         """Per-arm wall-clock budget (VERDICT r3 task #2). Returns an
         absolute deadline, or None to skip (recorded, not silent)."""

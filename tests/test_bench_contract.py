@@ -58,6 +58,39 @@ def test_graft_entry_contract():
     ge.dryrun_multichip(n)
 
 
+def test_bench_flagship_resume(tmp_path):
+    """A relaunched child whose resume file holds a COMPLETE flagship
+    block must skip straight past it (round 4 lost the driver artifact
+    to a flagship replay after a mid-arm wedge) and reprint an identical
+    artifact."""
+    ef = str(tmp_path / "resume.json")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        VSS_TPU_FORCE_PALLAS="0",
+        VSS_BENCH_N="400",
+        VSS_BENCH_NQ="32",
+        VSS_BENCH_D="8",
+        VSS_BENCH_DELETES="0",
+        VSS_BENCH_SUPERVISE="0",
+        VSS_BENCH_EMIT_FILE=ef,
+    )
+    runs = []
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            capture_output=True, text=True, timeout=300, env=env, cwd=_REPO,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        runs.append(out)
+    first = json.loads(runs[0].stdout.strip().splitlines()[-1])
+    second = json.loads(runs[1].stdout.strip().splitlines()[-1])
+    assert "resumed complete flagship block" in runs[1].stderr
+    assert second == first
+    assert "_phases" not in second  # cache keys never leak to stdout
+
+
 def test_bench_resume_file_roundtrip(tmp_path, monkeypatch):
     """emit() mirrors the artifact to the supervisor's resume file and
     _load_resume() reads it back — the mechanism that lets a relaunched
