@@ -31,7 +31,7 @@ from vss_tpu.index.graph import (
     empty_graph,
     sample_levels,
 )
-from vss_tpu.index.search import hnsw_search
+from vss_tpu.index.search import _default_fused, _hnsw_search_impl
 from vss_tpu.ops.topk import merge_topk
 from vss_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 from vss_tpu.utils import cdiv, round_up
@@ -76,6 +76,10 @@ class ShardedHNSWIndex:
         # arrays) for the process lifetime — a leak in long-lived services.
         self._wave_fns: dict = {}
         self._search_fns: dict = {}
+        self._scan_fns: dict = {}
+        # stacked per-shard squared-norm tape [S, cap], keyed on the
+        # graph pytree identity (DML publishes a fresh pytree)
+        self._norms_cache: Optional[tuple] = None
 
     supports_filter_pushdown = True
 
@@ -261,11 +265,17 @@ class ShardedHNSWIndex:
             rest = list(rest)
             mask = rest.pop(0)[0] if with_mask else None
             rt = rest.pop(0)[0] if with_rerank else None
-            d, slots = hnsw_search(
-                g, config, q, k, ef=ef, expand=expand,
-                filter_mask=mask,
-                assume_all_valid=all_valid,
-                rerank_tape=rt,
+            allow = g.valid if mask is None else (g.valid & mask)
+            fused = _default_fused(g)
+            if fused and g.vectors.dtype != jnp.float32:
+                fused = False  # sub-word tapes need a packed view cache
+            # impl directly (not hnsw_search): the eval counters must
+            # stay TRACED so each shard's count rides the shard_map out
+            d, slots, _iters, evals = _hnsw_search_impl(
+                g, config, q.astype(jnp.float32), allow, k,
+                max(ef, k), expand, 0,
+                not (all_valid and mask is None), True, fused,
+                None, None, 0, None, None, 1, rt,
             )
             rows = jnp.where(
                 slots >= 0,
@@ -280,7 +290,10 @@ class ShardedHNSWIndex:
             md, mr = merge_topk(
                 all_d.reshape(B, -1), all_r.reshape(B, -1), k
             )
-            return md, mr
+            # per-shard distance-eval counter (the 1/S scaling witness
+            # the virtual CPU mesh CAN measure) stays sharded: [1]/shard
+            ev = jnp.reshape(evals.astype(jnp.int32), (1,))
+            return md, mr, ev
 
         in_specs = (
             (P(SHARD_AXIS), P())
@@ -291,18 +304,48 @@ class ShardedHNSWIndex:
             per_shard,
             mesh=self.mesh,
             in_specs=in_specs,
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P(SHARD_AXIS)),
             check_vma=False,
         )
         self._search_fns[key] = jax.jit(fn)
         return self._search_fns[key]
 
+    def shard_ef(self, ef: int, k: int, margin: Optional[int] = None) -> int:
+        """Per-shard beam width for a round-robin row partition.
+
+        Each shard holds a uniform 1/S sample of the corpus, so a global
+        ef-wide beam's work splits across shards: a shard only has to
+        surface ITS members of the global top-k (~k/S of them, and those
+        are its locally nearest rows — the ones beam search finds most
+        reliably), not a full-quality local top-k. ef/S plus a fixed
+        margin holds global recall within ~1pt of the 1-shard number
+        (validated on the bench_scaling ladder) while per-shard distance
+        evals drop with shard size — the round-4 design ran the FULL ef
+        on every shard and did S times the work of one big graph
+        (SCALING_r04 qps_efficiency 0.30/0.14/0.04 at S=2/4/8)."""
+        S = self.n_shards
+        if S <= 1:
+            return max(ef, k)
+        if margin is None:
+            # floor of 8 measured on the 8-shard CPU-mesh ladder: margin 4
+            # (ef_shard=12 at S=8, ef=64) lost 3 pts of recall; margin 8
+            # (ef_shard=16) holds within 1 pt while still cutting beam
+            # iterations ~4x (tests/test_sharded.py scaled-ef test)
+            margin = max(8, ef // (4 * S))
+        return max(k, cdiv(ef, S) + margin)
+
     def search(self, queries, k: int, ef: Optional[int] = None,
-               expand: int = 1, filter_mask=None):
+               expand: int = 1, filter_mask=None, scale_ef: bool = True,
+               with_stats: bool = False):
         """Broadcast batched search; returns (dists [B,k], rowids [B,k]).
 
         `filter_mask`: optional bool [n_shards, cap] per-slot predicate
-        (rows allowed into results), sharded along the mesh axis."""
+        (rows allowed into results), sharded along the mesh axis.
+        `scale_ef`: shrink the per-shard beam to `shard_ef(ef, k)`
+        (`ef` keeps its global meaning; False forces the full beam on
+        every shard). `with_stats=True` additionally returns
+        {"per_shard_evals": [S], "ef_shard": int} — the per-shard work
+        counters (SURVEY §5.1 surface, sharded form)."""
         graphs = self.graphs  # snapshot: lock-free concurrent reads
         if graphs is None:
             raise ValueError("index is empty — call build() first")
@@ -312,22 +355,134 @@ class ShardedHNSWIndex:
         if self.config.storage_dtype == "int8":
             q = q / self.vector_scale
         ef = max(ef or self.config.ef_search, k)
+        ef_shard = self.shard_ef(ef, k) if scale_ef else ef
         rt = self.rerank_tapes
         with_rerank = rt is not None
         extra = (rt,) if with_rerank else ()
         if filter_mask is not None:
             mask = self._put(np.asarray(filter_mask, bool))
-            fn = self._search_fn(k, ef, expand, False, True, with_rerank)
-            d, rows = fn(graphs, q, mask, *extra)
+            fn = self._search_fn(k, ef_shard, expand, False, True, with_rerank)
+            d, rows, ev = fn(graphs, q, mask, *extra)
         else:
             fn = self._search_fn(
-                k, ef, expand, self.deleted_count == 0, False, with_rerank
+                k, ef_shard, expand, self.deleted_count == 0, False,
+                with_rerank,
             )
-            d, rows = fn(graphs, q, *extra)
+            d, rows, ev = fn(graphs, q, *extra)
         if self.config.storage_dtype == "int8":
             from vss_tpu.index.dense import rescale_distances
 
             d = rescale_distances(d, self.vector_scale, self.config.metric)
+        if with_stats:
+            return d, rows, {"per_shard_evals": ev, "ef_shard": ef_shard}
+        return d, rows
+
+    # ------------------------------------------------------ exact scan
+    def norms(self) -> jax.Array:
+        """Stacked per-shard squared-norm tape [S, cap] of the STORED
+        values, cached per graph pytree (HNSWIndex.norms analog)."""
+        g = self.graphs
+        if self._norms_cache is not None and self._norms_cache[0] is g:
+            return self._norms_cache[1]
+        spec = self._shard_spec()
+
+        @functools.partial(jax.jit, out_shardings=spec)
+        def _compute(v):
+            vf = v.astype(jnp.float32)
+            return jnp.sum(vf * vf, axis=-1)
+
+        n = _compute(g.vectors)
+        self._norms_cache = (g, n)
+        return n
+
+    def _scan_fn(self, k: int, with_mask: bool, with_rerank: bool):
+        """shard_map'd storage-native exact scan: each shard streams its
+        OWN tape slice through `scan_topk` (bytes/shard = cap*d*itemsize,
+        trivially 1/S of the corpus), then one all_gather + k-way merge.
+        The sharded form of the serving operator the flagship bench
+        elects (`ops/scan.py`; reference analog `search_exact_`,
+        /root/reference/src/include/usearch/index.hpp:4004-4025 —
+        single-node there, embarrassingly parallel here)."""
+        key = (k, with_mask, with_rerank)
+        if key in self._scan_fns:
+            return self._scan_fns[key]
+        from vss_tpu.ops.scan import scan_topk
+
+        metric = self.config.metric
+
+        def per_shard(graph_blk, q, xn, *rest):
+            g = jax.tree.map(lambda x: x[0], graph_blk)
+            rest = list(rest)
+            allow = g.valid
+            if with_mask:
+                allow = allow & rest.pop(0)[0]
+            rt = rest.pop(0)[0] if with_rerank else None
+            d, slots = scan_topk(
+                q, g.vectors, k, metric, valid_mask=allow,
+                x_norms=xn[0], rerank_tape=rt, keep=2 * k,
+            )
+            rows = jnp.where(
+                slots >= 0,
+                jnp.take(g.slot_to_rowid, jnp.maximum(slots, 0)),
+                -1,
+            )
+            all_d = jax.lax.all_gather(d, SHARD_AXIS, axis=1)
+            all_r = jax.lax.all_gather(rows, SHARD_AXIS, axis=1)
+            B = all_d.shape[0]
+            return merge_topk(all_d.reshape(B, -1), all_r.reshape(B, -1), k)
+
+        in_specs = (
+            (P(SHARD_AXIS), P(), P(SHARD_AXIS))
+            + ((P(SHARD_AXIS),) if with_mask else ())
+            + ((P(SHARD_AXIS),) if with_rerank else ())
+        )
+        fn = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        self._scan_fns[key] = jax.jit(fn)
+        return self._scan_fns[key]
+
+    def scan_search(self, queries, k: int, filter_mask=None,
+                    with_stats: bool = False):
+        """Sharded exact-scan serving path (EXACT_SCAN_TOPK over shards):
+        per-shard `scan_topk` on the local tape slice, all_gather + merge.
+        Returns (dists [B, k], rowids [B, k]) like `search()`; distances
+        exact w.r.t. the rerank tape when one exists. `with_stats=True`
+        adds {"per_shard_bytes": int} — the bytes each shard streams per
+        query batch (deterministic: its tape slice)."""
+        graphs = self.graphs
+        if graphs is None:
+            raise ValueError("index is empty — call build() first")
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        if self.config.storage_dtype == "int8":
+            q = q / self.vector_scale
+        rt = self.rerank_tapes
+        with_rerank = rt is not None
+        extra = (rt,) if with_rerank else ()
+        xn = self.norms()
+        if filter_mask is not None:
+            mask = self._put(np.asarray(filter_mask, bool))
+            fn = self._scan_fn(k, True, with_rerank)
+            d, rows = fn(graphs, q, xn, mask, *extra)
+        else:
+            fn = self._scan_fn(k, False, with_rerank)
+            d, rows = fn(graphs, q, xn, *extra)
+        if self.config.storage_dtype == "int8":
+            from vss_tpu.index.dense import rescale_distances
+
+            d = rescale_distances(d, self.vector_scale, self.config.metric)
+        if with_stats:
+            cap = int(graphs.vectors.shape[1])
+            itemsize = jnp.dtype(graphs.vectors.dtype).itemsize
+            return d, rows, {
+                "per_shard_bytes": cap * self.config.dims * itemsize
+            }
         return d, rows
 
     # ------------------------------------------------------------ CRUD
