@@ -1,0 +1,93 @@
+"""A/B: two-level (32-row) winnow scan vs the round-4 baseline numbers.
+
+Round-4 baseline at 1M x 128 int8 keep=k+2: 8.58 ms/512-batch (59.7k
+qps); phases B+C 7.05 ms of it. Run on chip:
+  timeout 1200 python benchmarks/ab_subseg.py
+"""
+import os
+import sys
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _slope
+    from vss_tpu.ops.scan import scan_topk
+    from vss_tpu.ops.topk import bruteforce_topk
+
+    log(f"backend={jax.default_backend()}")
+    N, D, QB, K = 1_000_000, 128, 512, 10
+    key = jax.random.PRNGKey(0)
+    kx, kq, kc = jax.random.split(key, 3)
+    # clustered corpus (the flagship's distribution class) so recall is
+    # measured against near-tie structure, not the easy iid case
+    nc = 500
+    C = jax.random.uniform(kc, (nc, D), jnp.float32, 0, 255)
+    assign = jax.random.randint(kx, (N,), 0, nc)
+    xf = jnp.clip(
+        C[assign] + 25.0 * jax.random.normal(kx, (N, D), jnp.float32),
+        0, 255,
+    )
+    qa = jax.random.randint(kq, (QB,), 0, nc)
+    q = jnp.clip(
+        C[qa] + 25.0 * jax.random.normal(kq, (QB, D), jnp.float32), 0, 255
+    )
+    scale = float(jnp.max(jnp.abs(xf))) / 127.0
+    xs = xf / scale
+    tape = jnp.clip(jnp.round(xs), -127, 127).astype(jnp.int8)
+    rr = xs.astype(jnp.float32)
+    xn = jnp.sum(tape.astype(jnp.float32) ** 2, axis=1)
+    qs = q / scale
+    valid = jnp.ones((N,), jnp.bool_)
+    jax.block_until_ready(tape)
+    log("fixture resident")
+
+    _, gt = bruteforce_topk(qs, xs, K, "l2sq")
+    gt = np.asarray(gt)
+    log("gt done")
+
+    for dt_name, tp, keep in (
+        ("int8", tape, None), ("int8 keep=2k", tape, 2 * K),
+        ("bf16", xs.astype(jnp.bfloat16), None),
+    ):
+        xn_t = (
+            xn if tp.dtype == jnp.int8
+            else jnp.sum(tp.astype(jnp.float32) ** 2, axis=1)
+        )
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def e2e(q, tp, xn_t, valid, rr, iters: int):
+            def body(i, carry):
+                acc, delta = carry
+                d, _ = scan_topk(q + delta, tp, K, "l2sq",
+                                 valid_mask=valid, x_norms=xn_t,
+                                 rerank_tape=rr, keep=keep)
+                s = d[0, 0]
+                return acc + s, delta + s * 1e-30
+            return jax.lax.fori_loop(0, iters, body,
+                                     (jnp.float32(0), jnp.float32(0)))[0]
+
+        per = _slope(lambda it: e2e(qs, tp, xn_t, valid, rr, it), 2, 8)
+        _, ids = scan_topk(qs, tp, K, "l2sq", valid_mask=valid,
+                           x_norms=xn_t, rerank_tape=rr, keep=keep)
+        ids = np.asarray(ids)
+        rec = sum(
+            len(set(a[a >= 0].tolist()) & set(b.tolist()))
+            for a, b in zip(ids, gt)
+        ) / (QB * K)
+        log(f"[{dt_name}] {per*1e3:.2f} ms/batch = {QB/per:.0f} qps "
+            f"recall@{K}={rec:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -325,14 +325,20 @@ class HNSWIndex:
         native pass over the tape + exact f32 rerank — the fastest
         operator at flagship scale on TPU (the MXU-brute-force insight;
         distances exact w.r.t. the rerank tape when one exists). Returns
-        (dists [B, k] f32, rowids [B, k], -1 pad) like search()."""
-        from vss_tpu.ops.scan import scan_topk
+        (dists [B, k] f32, rowids [B, k], -1 pad) like search().
 
-        q = jnp.asarray(np.asarray(queries, np.float32))
+        The whole pipeline (query scaling, winnow, rescore, rerank,
+        rowid map, distance rescale) runs as ONE jitted dispatch:
+        the eager form cost ~10 relay round-trips of multi-ms dispatch
+        latency each — ~47 ms wall per call against a ~2 ms kernel
+        (round-5 profile; the r4 artifact's sql_serve/scan_serve = 0.099
+        gap was exactly this)."""
+        q = (
+            queries if isinstance(queries, jax.Array)
+            else jnp.asarray(np.asarray(queries, np.float32))
+        )
         if q.ndim == 1:
             q = q[None, :]
-        if self.config.storage_dtype == "int8":
-            q = q / self.vector_scale
         g = self.graph
         allow = g.valid
         if filter_mask is not None:
@@ -341,20 +347,12 @@ class HNSWIndex:
         # surface, which replaces the brute-force operator — hold the
         # wider winnow margin that measures recall 1.0 on every corpus
         # (the raw serving default is the tighter k+2; BENCH_r04 keep
-        # sweep documents the trade: 62.6k qps @ 0.9951 vs 50.2k @ 1.0)
-        d, slots = scan_topk(
-            q, g.vectors, k, self.config.metric, valid_mask=allow,
-            x_norms=self.norms(), rerank_tape=self.rerank_tape,
-            keep=2 * k,
+        # sweep documents the trade)
+        return _scan_serve(
+            q, g.vectors, allow, self.norms(), self.rerank_tape,
+            g.slot_to_rowid, self.vector_scale, k, self.config.metric,
+            2 * k, self.config.storage_dtype,
         )
-        if self.config.storage_dtype == "int8":
-            d = self._rescale_distances(d)
-        rows = jnp.where(
-            slots >= 0,
-            jnp.take(g.slot_to_rowid, jnp.maximum(slots, 0)),
-            -1,
-        )
-        return d, rows
 
     def slot_rowid_array(self) -> np.ndarray:
         """slot -> rowid tape, host copy (filtered-search mask surface)."""

@@ -12,16 +12,25 @@ This module is the ANN-grade fast path the flagship serves:
     drops the query-norm term entirely — it is constant per query, so
     per-query ordering is unchanged — and takes row norms from a
     precomputed f32 tape instead of recomputing them per tile. The tile
-    reduces to per-128-lane-segment minima written straight to HBM
+    reduces to per-32-row SUB-segment minima written straight to HBM
     (the provably-exact winnowing argument lives in ops/topk.py).
-  phase B (segment rescore): gather the `keep` best segments' rows
-    (consecutive 128-row blocks — near-stream DMA) from the STORED tape,
-    decode, and score exactly (f32 HIGHEST on the decoded values).
+  selection (two-level, round 5): 128-row SUPER-segment minima (a
+    reshape-min over the sub minima) select the `keep` best supers —
+    the exact bound applies at any granularity: at most k segments can
+    contain a true top-k row, so top-(k+margin) supers by min capture
+    them all. The selected supers' 4 sub-minima each (keep*4 values per
+    query) then select the `keep` best SUB-segments by the same bound.
+    Two cheap selections instead of one, and phase B shrinks 4x.
+  phase B (sub-segment rescore): gather the `keep` best sub-segments'
+    rows (consecutive 32-row blocks — 4 KB DMA descriptors at d=128
+    int8) from the STORED tape, decode, and score. Round-4 profiled
+    phases B+C at 7.1 of the 8.6 ms batch with 128-row segments; the
+    32-row restructure rescans a quarter of the rows.
   phase C (exact rerank): gather the top ~2k candidate rows from the f32
     side tape (`rerank_tape`, held in scaled units by the int8 config)
     and rescore at full precision; the final top-k ordering is exact
     with respect to the f32 data whenever phases A/B kept the true
-    winners (they keep 128*keep >= 16k candidates; measured recall ~1.0).
+    winners (measured recall ~1.0; bench reports it).
 
 Replaces the role of `search_exact_`
 (/root/reference/src/include/usearch/index.hpp:4004-4025) at serving
@@ -45,6 +54,13 @@ __all__ = ["scan_topk", "native_scan_supported", "SCAN_K_MAX"]
 
 _INF = float("inf")
 
+# sub-segment granularity of the two-level winnow: 32 rows keeps the
+# phase-B gather at >= 4 KB descriptors (32 x 128 int8) while rescoring
+# a quarter of the rows a 128-row segment did; _SEG (128) remains the
+# super-segment / selection-bound granularity
+_SUBSEG = 32
+_GROUP = _SEG // _SUBSEG
+
 # widest k the native path serves. Above _ITER_K_MAX (32) the selection
 # steps fall back from the iterative min-k to lax.top_k (already wired
 # in _native_segmin_scan / _rescore_native_block); the phase-B rescore
@@ -62,9 +78,13 @@ def native_scan_supported(dtype) -> bool:
 def _native_segmin_kernel(
     q_ref, x_ref, xn_ref, v_ref, out_ref, *, metric_name: str, subt: int
 ):
-    """Per-tile distance-proxy seg-min. q [qb, d] bf16; x [tile, d] stored
-    dtype; xn [1, tile] f32 row norms (of the STORED values); v [1, tile]
-    i32 validity. Writes transposed [S, qb] seg-min block."""
+    """Per-tile distance-proxy sub-seg-min. q [qb, d] bf16; x [tile, d]
+    stored dtype; xn [1, tile] f32 row norms (of the STORED values);
+    v [1, tile] i32 validity. Writes [G, tile/_SEG, qb]: the j-th plane
+    holds the minima of lanes [32j, 32j+32) of each 128-row super
+    segment (Mosaic cannot reshape the lane axis below 128, so the
+    per-32 minima come from G masked reductions instead — global sub
+    id = super*G + j, reassembled by the caller)."""
     metric = Metric.parse(metric_name)
     q = q_ref[:]
     qb = q.shape[0]
@@ -87,22 +107,44 @@ def _native_segmin_kernel(
             xn = xn_ref[:, pl.ds(s * sub, sub)]
             d = jnp.where(xn > 0.0, -dots * jax.lax.rsqrt(jnp.maximum(xn, 1e-30)), 0.0)
         d = jnp.where(ok, d, _INF)
-        return jnp.min(d.reshape(qb, sub // _SEG, _SEG), axis=2)
+        d3 = d.reshape(qb, sub // _SEG, _SEG)
+        lane = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 2) // _SUBSEG
+        # [G, qb, sub/_SEG]: per-32-row minima via masked 128-lane mins
+        return jnp.stack(
+            [
+                jnp.min(jnp.where(lane == j, d3, _INF), axis=2)
+                for j in range(_GROUP)
+            ]
+        )
 
-    out_ref[:] = jnp.concatenate(
-        [one_subtile(s) for s in range(subt)], axis=1
-    ).T
+    acc = jnp.concatenate(
+        [one_subtile(s) for s in range(subt)], axis=2
+    )  # [G, qb, tile/_SEG]
+    out_ref[:] = jnp.transpose(acc, (0, 2, 1))
+
+
+def _select_min_k(vals, k):
+    """(vals, positions) of the k smallest along the last axis."""
+    if k <= _ITER_K_MAX:
+        return _iter_min_k(vals, k)
+    nt = jax.lax.top_k(-vals, k)
+    return -nt[0], nt[1]
 
 
 @functools.partial(
     jax.jit, static_argnames=("keep", "metric_name", "tile", "qb", "subt")
 )
 def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
+    """Phase A + two-level selection. Returns [nq, keep] SUB-segment ids
+    (-1 pad): top-`keep` supers by min (exact winnow bound), then
+    top-`keep` subs among the selected supers' sub-minima (same bound
+    one level down — a sub-segment holding a true top-k row has min
+    <= d_k, so its super does too and survives the first cut)."""
     nq, d = q.shape
     nxp = x.shape[0]
     S = tile // _SEG
     grid = (nq // qb, nxp // tile)
-    segmins = pl.pallas_call(
+    planes = pl.pallas_call(
         functools.partial(
             _native_segmin_kernel, metric_name=metric_name, subt=subt
         ),
@@ -113,14 +155,30 @@ def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
             pl.BlockSpec((1, tile), lambda i, j: (0, j)),
             pl.BlockSpec((1, tile), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((S, qb), lambda i, j: (j, i)),
-        out_shape=jax.ShapeDtypeStruct((nxp // _SEG, nq), jnp.float32),
+        out_specs=pl.BlockSpec((_GROUP, S, qb), lambda i, j: (0, j, i)),
+        out_shape=jax.ShapeDtypeStruct(
+            (_GROUP, nxp // _SEG, nq), jnp.float32
+        ),
     )(q, x, xn2, v2)
-    segmins = segmins.T  # [nq, NS]
-    sd, si = _iter_min_k(segmins, keep) if keep <= _ITER_K_MAX else (
-        lambda nt: (-nt[0], nt[1])
-    )(jax.lax.top_k(-segmins, keep))
-    return jnp.where(jnp.isfinite(sd), si, -1)
+    # planes[j, seg, q] = min of rows [seg*128+32j, +32) -> super minima
+    # are a min over j; sub id = seg*G + j
+    supermins = jnp.min(planes, axis=0).T  # [nq, NS_super]
+    ns_super = supermins.shape[1]
+    sd, si = _select_min_k(supermins, min(keep, ns_super))
+    # the selected supers' sub minima: keep*_GROUP candidates per query,
+    # gathered from the seg-major view [nq, NS_sub]
+    submins = jnp.transpose(planes, (2, 1, 0)).reshape(nq, -1)
+    sub_idx = (
+        jnp.maximum(si, 0)[:, :, None] * _GROUP
+        + jnp.arange(_GROUP, dtype=si.dtype)[None, None, :]
+    ).reshape(nq, -1)
+    sub_vals = jnp.take_along_axis(submins, sub_idx, axis=1)
+    sub_vals = jnp.where(
+        jnp.repeat(jnp.isfinite(sd), _GROUP, axis=1), sub_vals, _INF
+    )
+    ssd, ssp = _select_min_k(sub_vals, min(keep, sub_vals.shape[1]))
+    sub_global = jnp.take_along_axis(sub_idx, ssp, axis=1)
+    return jnp.where(jnp.isfinite(ssd), sub_global, -1)
 
 
 @functools.partial(
@@ -129,10 +187,10 @@ def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
 def _rescore_native(q, segs, x, xn_tape, valid, rerank_tape, m, k,
                     metric_name, has_rerank):
     """Phases B+C, chunked over queries so the gathered candidate block
-    stays a few hundred MB at worst (keep*128 rows per query)."""
+    stays a few hundred MB at worst (keep*32 rows per query)."""
     nq = q.shape[0]
     keep = segs.shape[1]
-    limit = max(8, (1 << 26) // max(keep * _SEG * q.shape[1], 1))
+    limit = max(8, (1 << 26) // max(keep * _SUBSEG * q.shape[1], 1))
     cq = min(nq, 1 << (limit.bit_length() - 1))
     if nq > cq and nq % cq == 0:
         qs = q.reshape(nq // cq, cq, -1)
@@ -152,9 +210,9 @@ def _rescore_native(q, segs, x, xn_tape, valid, rerank_tape, m, k,
 
 
 def _gather_segment_blocks(xb: jax.Array, segs: jax.Array) -> jax.Array:
-    """Gather [keep] 128-row segment blocks per query from the blocked
-    tape view xb [S, 128*d] via XLA take. A Pallas per-block-DMA variant
-    (native-sublane-tiled views, one >=16 KB descriptor per segment) was
+    """Gather [keep] 32-row sub-segment blocks per query from the blocked
+    tape view xb [S, 32*d] via XLA take. A Pallas per-block-DMA variant
+    (native-sublane-tiled views, one big descriptor per segment) was
     A/B'd in round 4 and LOST: 11.9 vs 9.5 ms full-scan at qb=256
     (benchmarks/profile_scan.py) — XLA's gather already moves these
     blocks at the DMA-issue envelope, and phase B's ~23 GB/s effective
@@ -168,45 +226,45 @@ def _rescore_native_block(q, segs, x, xn_tape, valid, rerank_tape, m, k,
     metric = Metric.parse(metric_name)
     nq, d = q.shape
     keep = segs.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (nq, keep, _SEG), 2)
-    rows = jnp.maximum(segs, 0)[:, :, None] * _SEG + lanes
-    rows = rows.reshape(nq, keep * _SEG)
-    rows = jnp.where(jnp.repeat(segs >= 0, _SEG, axis=1), rows, -1)
-    # gather whole segments as contiguous blocks (one 128-row descriptor
-    # each) instead of keep*128 individual sub-512B rows — the per-row
-    # descriptor issue rate made the row gather 10x slower (measured
-    # 24.9 ms vs 2.1 ms for the whole winnow pass at 1M x 128 int8)
-    xb = x.reshape(x.shape[0] // _SEG, _SEG * d)
-    xg = _gather_segment_blocks(xb, segs)  # [nq, keep, 128*d]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (nq, keep, _SUBSEG), 2)
+    rows = jnp.maximum(segs, 0)[:, :, None] * _SUBSEG + lanes
+    rows = rows.reshape(nq, keep * _SUBSEG)
+    rows = jnp.where(jnp.repeat(segs >= 0, _SUBSEG, axis=1), rows, -1)
+    # gather whole sub-segments as contiguous blocks (one 32-row
+    # descriptor each) instead of keep*32 individual sub-512B rows — the
+    # per-row descriptor issue rate made the row gather 10x slower
+    # (measured 24.9 ms vs 2.1 ms for the whole winnow pass at 1M x 128)
+    xb = x.reshape(x.shape[0] // _SUBSEG, _SUBSEG * d)
+    xg = _gather_segment_blocks(xb, segs)  # [nq, keep, 32*d]
     if has_rerank:
         # bf16 scoring: int8 values are exact in bf16 and phase C reranks
         # the m-pool at f32, so only the q rounding (~0.4%) can perturb
         # the m-boundary — covered by the m > k margin. The f32-HIGHEST
         # batched matvec here was ~6x the whole winnow pass's time.
-        g = xg.reshape(nq, keep * _SEG, d).astype(jnp.bfloat16)
+        g = xg.reshape(nq, keep * _SUBSEG, d).astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
             g, q.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
     else:
-        g = xg.reshape(nq, keep * _SEG, d).astype(jnp.float32)
+        g = xg.reshape(nq, keep * _SUBSEG, d).astype(jnp.float32)
         dots = jax.lax.dot_general(
             g, q, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
     qn = jnp.sum(q * q, axis=1, keepdims=True)
-    # row norms ride the precomputed tape (same segment-block gather) —
+    # row norms ride the precomputed tape (same sub-segment gather) —
     # recomputing them from an f32 copy of the gathered block cost more
     # HBM traffic than the gather itself
-    xnb = xn_tape.reshape(xn_tape.shape[0] // _SEG, _SEG)
-    xn = jnp.take(xnb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SEG)
+    xnb = xn_tape.reshape(xn_tape.shape[0] // _SUBSEG, _SUBSEG)
+    xn = jnp.take(xnb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SUBSEG)
     dd = _epilogue(dots, qn, xn, metric)
-    # validity rides the same segment-block gather as the norms: an
-    # element gather (take(valid, safe) — keep*128 scattered 1-byte
+    # validity rides the same sub-segment gather as the norms: an
+    # element gather (take(valid, safe) — keep*32 scattered 1-byte
     # loads per query) dominated this phase at 1M x 128 int8
-    vb = valid.reshape(valid.shape[0] // _SEG, _SEG)
-    okg = jnp.take(vb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SEG)
+    vb = valid.reshape(valid.shape[0] // _SUBSEG, _SUBSEG)
+    okg = jnp.take(vb, jnp.maximum(segs, 0), axis=0).reshape(nq, keep * _SUBSEG)
     ok = (rows >= 0) & okg
     dd = jnp.where(ok & ~jnp.isnan(dd), dd, _INF)
     bd, bp = _iter_min_k(dd, m) if m <= _ITER_K_MAX else (
@@ -263,9 +321,9 @@ def scan_topk(
     the stored (quantized) values.
 
     Prefer `bruteforce_topk` for the bit-exact oracle path; this is the
-    serving path (phases A/B keep >= 128*keep candidates per query, so
-    dropped true winners are measured-rare; the flagship bench reports
-    its recall).
+    serving path (phases A/B keep 32*keep candidates per query chosen by
+    the two-level exact winnow bound, so dropped true winners are
+    measured-rare; the flagship bench reports its recall).
     """
     from vss_tpu.utils import use_pallas
 
@@ -318,7 +376,7 @@ def scan_topk(
     else:
         rerank_tape = pad_to(rerank_tape, 1, 128) if d != d0 else rerank_tape
         rerank_tape = pad_to(rerank_tape, 0, tile)
-    m = min(max(2 * k, k + 6), keep * _SEG) if has_rr else k
+    m = min(max(2 * k, k + 6), keep * _SUBSEG) if has_rr else k
     outd, outi = _rescore_native(
         qp.astype(jnp.float32), segs, xp, xn2[0], vp, rerank_tape, m, k,
         metric.value, has_rr,
