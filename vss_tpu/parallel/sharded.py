@@ -816,14 +816,16 @@ class ShardedHNSWIndex:
             "levels": [],
         }
         for lvl in range(agg["num_levels"]):
-            nodes = edges = max_edges = 0
+            nodes = edges = max_edges = alloc = 0
             for p in per_shard:
                 if lvl < len(p["levels"]):
                     nodes += p["levels"][lvl]["nodes"]
                     edges += p["levels"][lvl]["edges"]
                     max_edges += p["levels"][lvl]["max_edges"]
+                    alloc += p["levels"][lvl].get("allocated_bytes", 0)
             agg["levels"].append(
-                {"level": lvl, "nodes": nodes, "edges": edges, "max_edges": max_edges}
+                {"level": lvl, "nodes": nodes, "edges": edges,
+                 "max_edges": max_edges, "allocated_bytes": alloc}
             )
         return agg
 

@@ -873,12 +873,43 @@ def _table_function(db: Database, name: str, args: list):
     if name == "pragma_hnsw_index_info":
         if args:
             raise BinderError("pragma_hnsw_index_info takes no arguments")
+        # column-exact reproduction of the reference's 11-column schema
+        # (hnsw_index_pragmas.cpp:41-80), incl. the levels_stats LIST of
+        # STRUCT(nodes, edges, max_edges, allocated_bytes). The richer
+        # engine-native dict (deleted counts, quantization drift, shard
+        # count, ...) stays on Database.hnsw_index_info().
         rows = db.hnsw_index_info()
-        data = (
-            {k: np.asarray([r[k] for r in rows], object) for k in rows[0]}
-            if rows
-            else {}
-        )
+        ls = np.empty(len(rows), object)
+        for i, r in enumerate(rows):
+            ls[i] = [
+                {
+                    "nodes": lv["nodes"],
+                    "edges": lv["edges"],
+                    "max_edges": lv["max_edges"],
+                    "allocated_bytes": lv.get("allocated_bytes", 0),
+                }
+                for lv in r["levels"]
+            ]
+        data = {
+            "catalog_name": np.asarray(["memory"] * len(rows), object),
+            "schema_name": np.asarray(["main"] * len(rows), object),
+            "index_name": np.asarray([r["index_name"] for r in rows], object),
+            "table_name": np.asarray([r["table_name"] for r in rows], object),
+            "metric": np.asarray([r["metric"] for r in rows], object),
+            "dimensions": np.asarray(
+                [r["dimensions"] for r in rows], np.int64
+            ),
+            "count": np.asarray([r["count"] for r in rows], np.int64),
+            "capacity": np.asarray([r["capacity"] for r in rows], np.int64),
+            "approx_memory_usage": np.asarray(
+                [r["approx_memory_bytes"] for r in rows], np.int64
+            ),
+            # stats->max_level (0-based top level), not the level count
+            "levels": np.asarray(
+                [max(r["num_levels"] - 1, 0) for r in rows], np.int64
+            ),
+            "levels_stats": ls,
+        }
         return ChunkSource("pragma_hnsw_index_info()", data)
     if name == "pragma_database_size":
         if args:
