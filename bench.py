@@ -356,7 +356,24 @@ def main():
         rng = np.random.default_rng(0)
         nb = max(NQ // QBATCH, 1)
         NQ = nb * QBATCH
-        if DIST == "iid":
+        base_file = os.environ.get("VSS_BENCH_BASE")
+        if base_file:
+            # real corpus (TexMex .fvecs/.bvecs or .npy): overrides the
+            # synthesizer; SIFT1M/GIST1M feed through unchanged
+            from vss_tpu.utils.datasets import read_vecs
+
+            vecs = np.asarray(read_vecs(base_file), np.float32)
+            N, D = vecs.shape
+            qf = os.environ.get("VSS_BENCH_QUERY")
+            if qf:
+                qsrc = np.asarray(read_vecs(qf), np.float32)
+            else:  # no query file: perturbed base rows
+                qsrc = vecs[rng.integers(0, N, NQ)] + rng.normal(
+                    0, 1, (NQ, D)
+                ).astype(np.float32)
+            queries = np.resize(qsrc, (NQ, D)).astype(np.float32)
+            log(f"[bench] corpus from {base_file}: N={N} D={D}")
+        elif DIST == "iid":
             # adversarial near-orthogonal case: i.i.d. gaussian. No real ANN
             # corpus looks like this (all pairs nearly equidistant as D
             # grows), but it bounds recall from below.
@@ -1071,7 +1088,7 @@ def main():
     # end-to-end (GT -> build -> ladder -> scan A/B) in this process and
     # lands as a sub-object of the single JSON line; a wedged arm records
     # its error instead of killing the artifact.
-    def _arm_deadline(key):
+    def _arm_deadline(key, budget=None):
         """Per-arm wall-clock budget (VERDICT r3 task #2). Returns an
         absolute deadline, or None to skip (recorded, not silent)."""
         rem = _remaining()
@@ -1079,21 +1096,20 @@ def main():
             out[key] = {"skipped": f"time budget ({rem:.0f}s left)"}
             log(f"[bench:{key}] skipped: {rem:.0f}s left")
             return None
-        return time.time() + min(ARM_BUDGET_S, rem - 60)
+        return time.time() + min(budget or ARM_BUDGET_S, rem - 60)
 
     # GIST first: the 960-d number has been lost three rounds running,
     # and iid's headline (recall) is cheaper to reproduce.
     if (not on_cpu and os.environ.get("VSS_BENCH_GIST", "1") == "1"
             and "gist_960d" not in out):
-        dl = _arm_deadline("gist_960d")
+        dl = _arm_deadline("gist_960d", ARM_BUDGET_S * 1.6)
         if dl is not None:
             try:
-                # 300k (not 1M/500k): host->device through the relay
-                # moves ~13 MB/s, so the 960-d corpus upload alone costs
-                # ~0.4 s/MB of budget; 300k x 960 f32 = 1.15 GB ≈ 85 s.
-                # The 960-d kernels are what this arm exists to exercise
-                # (VERDICT r3 allows >= 250k).
-                GN = int(os.environ.get("VSS_BENCH_GIST_N", 300_000))
+                # 1M — the BASELINE.json config (VERDICT r4 #4). The old
+                # 300k cap was sized to a stale ~13 MB/s relay-upload
+                # figure; measured round 5: 869 MB/s, so the 3.84 GB
+                # corpus uploads in ~5 s and build dominates the arm.
+                GN = int(os.environ.get("VSS_BENCH_GIST_N", 1_000_000))
                 GD = 960
                 jax.clear_caches()
                 rng_g = np.random.default_rng(3)
