@@ -58,6 +58,7 @@ def test_graft_entry_contract():
     ge.dryrun_multichip(n)
 
 
+@pytest.mark.slow
 def test_bench_flagship_resume(tmp_path):
     """A relaunched child whose resume file holds a COMPLETE flagship
     block must skip straight past it (round 4 lost the driver artifact

@@ -62,6 +62,7 @@ def test_build_single_row():
     assert np.asarray(si)[0].tolist() == [0, -1, -1]
 
 
+@pytest.mark.slow
 def test_wave_sizes_equivalent_quality(rng):
     """Different wave sizes need not give identical graphs, but recall must
     hold across them."""

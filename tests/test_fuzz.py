@@ -28,6 +28,7 @@ def exact_topk(oracle: dict, q: np.ndarray, k: int):
     return ids[order].tolist()
 
 
+@pytest.mark.slow
 def test_random_crud_against_oracle(rng):
     cfg = HNSWConfig(dims=D, m=8, ef_construction=64)
     idx = HNSWIndex(cfg, capacity=64)
