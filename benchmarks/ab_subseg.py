@@ -56,6 +56,37 @@ def main():
     gt = np.asarray(gt)
     log("gt done")
 
+    # phase A + selection alone (new two-level kernel)
+    if os.environ.get("AB_PHASE_A", "1") == "1":
+        from vss_tpu.ops.scan import _native_segmin_scan, _native_tile
+        from vss_tpu.utils import pad_to, round_up
+
+        qb = 256
+        d_pad = round_up(D, 128)
+        tile = _native_tile(N, d_pad, qb, 1)
+        subt = max(1, tile // 1024)
+        xp = pad_to(pad_to(tape, 1, 128), 0, tile)
+        vp = pad_to(valid, 0, tile, value=False)
+        v2 = vp.astype(jnp.int32)[:, None]
+        xn2 = pad_to(xn, 0, tile)[:, None]
+        qp = pad_to(qs, 0, qb).astype(jnp.bfloat16)
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def phase_a(qp, xp, xn2, v2, iters: int):
+            def body(i, carry):
+                acc, delta = carry
+                segs = _native_segmin_scan(
+                    qp + delta.astype(jnp.bfloat16), xp, xn2, v2, K + 2,
+                    "l2sq", tile, qb, subt,
+                )
+                s = segs[0, 0].astype(jnp.float32)
+                return acc + s, delta + s * 1e-30
+            return jax.lax.fori_loop(0, iters, body,
+                                     (jnp.float32(0), jnp.float32(0)))[0]
+
+        per_a = _slope(lambda it: phase_a(qp, xp, xn2, v2, it), 2, 8)
+        log(f"[phaseA] {per_a*1e3:.2f} ms/256 -> {2*per_a*1e3:.2f} ms/512")
+
     for dt_name, tp, keep in (
         ("int8", tape, None), ("int8 keep=2k", tape, 2 * K),
         ("bf16", xs.astype(jnp.bfloat16), None),

@@ -79,48 +79,41 @@ def _native_segmin_kernel(
     q_ref, x_ref, xn_ref, v_ref, out_ref, *, metric_name: str, subt: int
 ):
     """Per-tile distance-proxy sub-seg-min. q [qb, d] bf16; x [tile, d]
-    stored dtype; xn [1, tile] f32 row norms (of the STORED values);
-    v [1, tile] i32 validity. Writes [G, tile/_SEG, qb]: the j-th plane
-    holds the minima of lanes [32j, 32j+32) of each 128-row super
-    segment (Mosaic cannot reshape the lane axis below 128, so the
-    per-32 minima come from G masked reductions instead — global sub
-    id = super*G + j, reassembled by the caller)."""
+    stored dtype; xn [tile, 1] f32 row norms (of the STORED values);
+    v [tile, 1] i32 validity. Writes [tile/_SUBSEG, qb]: row i = min
+    distance of sub-segment i (32 consecutive tape rows) to each query.
+
+    The dots come out TRANSPOSED ([rows, queries]) so tape rows sit on
+    the SUBLANE axis, where a reshape by 32 is legal — Mosaic cannot
+    split the 128-wide lane axis, which sank three other shapes of this
+    kernel (lane reshape: unsupported; masked per-32 lane minima:
+    ~214 MB register spill unrolled, serialized pipeline rolled, 113 MB
+    scoped-vmem output with a 3-D block). One reduction, one aligned
+    32-sublane store per 1024-row subtile, no in-kernel transposes."""
     metric = Metric.parse(metric_name)
     q = q_ref[:]
-    qb = q.shape[0]
     tile = x_ref.shape[0]
     sub = tile // subt
+    nsub = sub // _SUBSEG
 
-    def one_subtile(s):
+    for s in range(subt):
         x = x_ref[pl.ds(s * sub, sub), :].astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
-            q, x, (((1,), (1,)), ((), ())),
+            x, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [qb, sub] f32
-        ok = v_ref[:, pl.ds(s * sub, sub)] > 0  # [1, sub]
+        )  # [sub, qb] f32 — rows on sublanes
+        ok = v_ref[pl.ds(s * sub, sub), :] > 0  # [sub, 1]
         if metric == Metric.IP:
             d = -dots
         elif metric == Metric.L2SQ:
             # qn dropped: constant per query, ordering-invariant
-            d = xn_ref[:, pl.ds(s * sub, sub)] - 2.0 * dots
+            d = xn_ref[pl.ds(s * sub, sub), :] - 2.0 * dots
         else:  # cosine: order by -cos; zero-x rows order like cos == 0
-            xn = xn_ref[:, pl.ds(s * sub, sub)]
+            xn = xn_ref[pl.ds(s * sub, sub), :]
             d = jnp.where(xn > 0.0, -dots * jax.lax.rsqrt(jnp.maximum(xn, 1e-30)), 0.0)
         d = jnp.where(ok, d, _INF)
-        d3 = d.reshape(qb, sub // _SEG, _SEG)
-        lane = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 2) // _SUBSEG
-        # [G, qb, sub/_SEG]: per-32-row minima via masked 128-lane mins
-        return jnp.stack(
-            [
-                jnp.min(jnp.where(lane == j, d3, _INF), axis=2)
-                for j in range(_GROUP)
-            ]
-        )
-
-    acc = jnp.concatenate(
-        [one_subtile(s) for s in range(subt)], axis=2
-    )  # [G, qb, tile/_SEG]
-    out_ref[:] = jnp.transpose(acc, (0, 2, 1))
+        m = jnp.min(d.reshape(nsub, _SUBSEG, d.shape[1]), axis=1)
+        out_ref[pl.ds(s * nsub, nsub), :] = m  # nsub = 32: 8-aligned
 
 
 def _select_min_k(vals, k):
@@ -142,9 +135,9 @@ def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
     <= d_k, so its super does too and survives the first cut)."""
     nq, d = q.shape
     nxp = x.shape[0]
-    S = tile // _SEG
+    S = tile // _SUBSEG
     grid = (nq // qb, nxp // tile)
-    planes = pl.pallas_call(
+    submins = pl.pallas_call(
         functools.partial(
             _native_segmin_kernel, metric_name=metric_name, subt=subt
         ),
@@ -152,22 +145,19 @@ def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
         in_specs=[
             pl.BlockSpec((qb, d), lambda i, j: (i, 0)),
             pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, tile), lambda i, j: (0, j)),
-            pl.BlockSpec((1, tile), lambda i, j: (0, j)),
+            pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((_GROUP, S, qb), lambda i, j: (0, j, i)),
-        out_shape=jax.ShapeDtypeStruct(
-            (_GROUP, nxp // _SEG, nq), jnp.float32
-        ),
+        out_specs=pl.BlockSpec((S, qb), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((nxp // _SUBSEG, nq), jnp.float32),
     )(q, x, xn2, v2)
-    # planes[j, seg, q] = min of rows [seg*128+32j, +32) -> super minima
-    # are a min over j; sub id = seg*G + j
-    supermins = jnp.min(planes, axis=0).T  # [nq, NS_super]
-    ns_super = supermins.shape[1]
-    sd, si = _select_min_k(supermins, min(keep, ns_super))
-    # the selected supers' sub minima: keep*_GROUP candidates per query,
-    # gathered from the seg-major view [nq, NS_sub]
-    submins = jnp.transpose(planes, (2, 1, 0)).reshape(nq, -1)
+    submins = submins.T  # [nq, NS_sub]; sub id i covers rows [32i, 32i+32)
+    ns_sub = submins.shape[1]
+    supermins = jnp.min(
+        submins.reshape(nq, ns_sub // _GROUP, _GROUP), axis=2
+    )
+    sd, si = _select_min_k(supermins, min(keep, ns_sub // _GROUP))
+    # the selected supers' sub minima: keep*_GROUP candidates per query
     sub_idx = (
         jnp.maximum(si, 0)[:, :, None] * _GROUP
         + jnp.arange(_GROUP, dtype=si.dtype)[None, None, :]
@@ -343,17 +333,22 @@ def scan_topk(
     itemsize = jnp.dtype(tape.dtype).itemsize
     d = round_up(d0, 128)
     tile = _native_tile(nx, d, qb, itemsize)
-    # sub-tiles of <= 512 rows bound the live [qb, sub] f32 temporaries
-    subt = max(1, tile // 512)
+    # 1024-row sub-tiles: per-subtile stores bound the live [sub, qb]
+    # f32 temporaries, and 1024 rows = 32 sub-segment output sublanes,
+    # satisfying the dynamic store's 8-sublane alignment
+    subt = max(1, tile // 1024)
     xp = pad_to(pad_to(tape, 1, 128), 0, tile)
     if valid_mask is None:
         valid_mask = jnp.ones((nx,), jnp.bool_)
     vp = pad_to(valid_mask, 0, tile, value=False)
-    v2 = vp.astype(jnp.int32)[None, :]
+    # norms/validity ride as COLUMN vectors: the kernel's dots are
+    # transposed (tape rows on sublanes), so its epilogue broadcasts
+    # per-row values along the query (lane) axis
+    v2 = vp.astype(jnp.int32)[:, None]
     if x_norms is None:
         xf = xp.astype(jnp.float32)
         x_norms = jnp.sum(xf * xf, axis=-1)
-    xn2 = pad_to(x_norms.astype(jnp.float32), 0, tile)[None, :]
+    xn2 = pad_to(x_norms.astype(jnp.float32), 0, tile)[:, None]
     qp = pad_to(pad_to(q.astype(jnp.float32), 1, 128), 0, qb)
     if keep is None:
         # margin over the exact-arithmetic bound: at most k segments can
@@ -378,7 +373,7 @@ def scan_topk(
         rerank_tape = pad_to(rerank_tape, 0, tile)
     m = min(max(2 * k, k + 6), keep * _SUBSEG) if has_rr else k
     outd, outi = _rescore_native(
-        qp.astype(jnp.float32), segs, xp, xn2[0], vp, rerank_tape, m, k,
+        qp.astype(jnp.float32), segs, xp, xn2[:, 0], vp, rerank_tape, m, k,
         metric.value, has_rr,
     )
     return outd[:nq], outi[:nq]
