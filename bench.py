@@ -671,11 +671,13 @@ def main():
                     return acc
 
                 try:
+                    # the two-level winnow serves a 512-batch in ~2-5 ms;
+                    # (2,8)-iter deltas would sit inside relay jitter
                     per_s = _slope(
                         lambda it: scan_serve_loop(
                             q_stack, graph.vectors, x_norms, vmask, r_tape, it
                         ),
-                        2, 8,
+                        8, 40,
                     )
                     srows = []
                     for i in range(nb):
@@ -1043,7 +1045,7 @@ def main():
                 per_s = _slope(
                     lambda it: a_scan_loop(
                         aq, ag.vectors, axn, a_allow, art, it
-                    ), 2, 8,
+                    ), 8, 40,
                 )
 
                 def srows(i):

@@ -84,7 +84,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body,
                                      (jnp.float32(0), jnp.float32(0)))[0]
 
-        per_a = _slope(lambda it: phase_a(qp, xp, xn2, v2, it), 2, 8)
+        per_a = _slope(lambda it: phase_a(qp, xp, xn2, v2, it), 16, 64)
         log(f"[phaseA] {per_a*1e3:.2f} ms/256 -> {2*per_a*1e3:.2f} ms/512")
 
     for dt_name, tp, keep in (
@@ -108,7 +108,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body,
                                      (jnp.float32(0), jnp.float32(0)))[0]
 
-        per = _slope(lambda it: e2e(qs, tp, xn_t, valid, rr, it), 2, 8)
+        per = _slope(lambda it: e2e(qs, tp, xn_t, valid, rr, it), 16, 64)
         _, ids = scan_topk(qs, tp, K, "l2sq", valid_mask=valid,
                            x_norms=xn_t, rerank_tape=rr, keep=keep)
         ids = np.asarray(ids)
@@ -120,5 +120,58 @@ def main():
             f"recall@{K}={rec:.5f}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("AB_EAGER") != "1":
     main()
+
+
+def eager_throughput():
+    """Sustained serving throughput: N independent eager dispatches of
+    DISTINCT query batches, one final block — exactly how a server
+    drives the chip (async dispatch queue overlaps batches). The chained
+    fori slope measures SERIAL latency instead; the two differ when the
+    chunked winnow lets batch i+1's stream overlap batch i's tail."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.index.dense import HNSWIndex
+
+    log(f"backend={jax.default_backend()}")
+    N, D, QB, K = 1_000_000, 128, 512, 10
+    key = jax.random.PRNGKey(0)
+    kx, kq, kc = jax.random.split(key, 3)
+    nc = 500
+    C = jax.random.uniform(kc, (nc, D), jnp.float32, 0, 255)
+    assign = jax.random.randint(kx, (N,), 0, nc)
+    xf = np.asarray(jnp.clip(
+        C[assign] + 25.0 * jax.random.normal(kx, (N, D), jnp.float32),
+        0, 255,
+    ))
+    NB = 16
+    qa = jax.random.randint(kq, (NB * QB,), 0, nc)
+    qs_all = jnp.clip(
+        C[qa] + 25.0 * jax.random.normal(kq, (NB * QB, D), jnp.float32),
+        0, 255,
+    ).reshape(NB, QB, D)
+    cfg = HNSWConfig(dims=D, storage_dtype="int8", rerank="auto")
+    t0 = time.perf_counter()
+    idx = HNSWIndex.build(xf, cfg)
+    jax.block_until_ready(idx.graph.count)
+    log(f"build {time.perf_counter()-t0:.1f}s")
+    # warm both all query blocks' shapes (same shape -> one compile)
+    outs = [idx.scan_search(qs_all[i], K) for i in range(2)]
+    jax.block_until_ready(outs[-1][0])
+    for trial in range(3):
+        t0 = time.perf_counter()
+        outs = [idx.scan_search(qs_all[i], K) for i in range(NB)]
+        jax.block_until_ready([o[0] for o in outs])
+        dt = time.perf_counter() - t0
+        log(f"[eager-pipelined] {NB} batches in {dt*1e3:.1f} ms = "
+            f"{NB*QB/dt:.0f} qps ({dt/NB*1e3:.2f} ms/batch)")
+
+
+if __name__ == "__main__" and os.environ.get("AB_EAGER") == "1":
+    eager_throughput()
+    sys.exit(0)

@@ -96,7 +96,12 @@ def _native_segmin_kernel(
     sub = tile // subt
     nsub = sub // _SUBSEG
 
-    for s in range(subt):
+    # fully unrolled (the round-4 proven structure, now transpose-free):
+    # a rolled lax.fori_loop serialized the MXU/VPU pipeline (phase A
+    # 3.7 -> 8.3 ms/512). The unrolled form's scoped-vmem output
+    # allocation is safe here because the CALLER chunks the corpus so
+    # the output stays well under the 16 MB cap.
+    def one(s):
         x = x_ref[pl.ds(s * sub, sub), :].astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
             x, q, (((1,), (1,)), ((), ())),
@@ -112,8 +117,9 @@ def _native_segmin_kernel(
             xn = xn_ref[pl.ds(s * sub, sub), :]
             d = jnp.where(xn > 0.0, -dots * jax.lax.rsqrt(jnp.maximum(xn, 1e-30)), 0.0)
         d = jnp.where(ok, d, _INF)
-        m = jnp.min(d.reshape(nsub, _SUBSEG, d.shape[1]), axis=1)
-        out_ref[pl.ds(s * nsub, nsub), :] = m  # nsub = 32: 8-aligned
+        return jnp.min(d.reshape(nsub, _SUBSEG, d.shape[1]), axis=1)
+
+    out_ref[:] = jnp.concatenate([one(s) for s in range(subt)], axis=0)
 
 
 def _select_min_k(vals, k):
@@ -136,21 +142,54 @@ def _native_segmin_scan(q, x, xn2, v2, keep, metric_name, tile, qb, subt):
     nq, d = q.shape
     nxp = x.shape[0]
     S = tile // _SUBSEG
-    grid = (nq // qb, nxp // tile)
-    submins = pl.pallas_call(
-        functools.partial(
-            _native_segmin_kernel, metric_name=metric_name, subt=subt
+
+    # The corpus axis is CHUNKED so each kernel call's output stays
+    # under XLA:TPU's ~16 MB scoped-vmem cap: the sub-segment output is
+    # 4x the r4 per-128 one, and every single-call variant tried (2-D /
+    # 3-D blocks, unrolled / rolled / hand-unrolled stores) had the full
+    # 64 MB buffer stack-allocated in scoped vmem and OOM'd the compile.
+    # Per-chunk outputs of <= 8 MB allocate fine; lax.map keeps them in
+    # one HBM result.
+    # 6 MB per-chunk output target: 8 MB left a fused consumer 376 KB
+    # over the cap on the bf16 shape
+    ch = max(tile, ((6 << 20) * _SUBSEG // 4 // max(nq, 1)) // tile * tile)
+    # never pad past the corpus itself (a small nq makes the cap-derived
+    # chunk huge; one whole-corpus chunk is then already under the cap)
+    ch = min(ch, round_up(nxp, tile))
+    nxp2 = round_up(nxp, ch)
+    if nxp2 != nxp:
+        x = pad_to(x, 0, ch)
+        xn2 = pad_to(xn2, 0, ch)
+        v2 = pad_to(v2, 0, ch)  # pad rows invalid -> INF minima
+    C = nxp2 // ch
+    grid = (nq // qb, ch // tile)
+
+    def one_chunk(args):
+        xc, xnc, vc = args
+        return pl.pallas_call(
+            functools.partial(
+                _native_segmin_kernel, metric_name=metric_name, subt=subt
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((qb, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((S, qb), lambda i, j: (j, i)),
+            out_shape=jax.ShapeDtypeStruct((ch // _SUBSEG, nq), jnp.float32),
+        )(q, xc, xnc, vc)
+
+    subs = jax.lax.map(
+        one_chunk,
+        (
+            x.reshape(C, ch, d),
+            xn2.reshape(C, ch, 1),
+            v2.reshape(C, ch, 1),
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((qb, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
-        ],
-        out_specs=pl.BlockSpec((S, qb), lambda i, j: (j, i)),
-        out_shape=jax.ShapeDtypeStruct((nxp // _SUBSEG, nq), jnp.float32),
-    )(q, x, xn2, v2)
+    )  # [C, ch/32, nq]
+    submins = subs.reshape(-1, nq)
     submins = submins.T  # [nq, NS_sub]; sub id i covers rows [32i, 32i+32)
     ns_sub = submins.shape[1]
     supermins = jnp.min(
