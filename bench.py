@@ -922,11 +922,17 @@ def main():
             log(f"[bench:{name}] N={an} D={ad} metric={a_metric}: "
                 "ground truth...")
             xs = jnp.asarray(a_vecs)
-            a_gt = np.concatenate(
-                [np.asarray(bruteforce_topk(aq[i], xs, K, a_metric)[1])
-                 for i in range(anb)]
-            )
-            del xs
+            gt_parts = []
+            for i in range(anb):
+                gt_parts.append(
+                    np.asarray(bruteforce_topk(aq[i], xs, K, a_metric)[1])
+                )
+                # per-batch heartbeat: the first batch carries a big
+                # per-shape compile and a silent >420 s phase trips the
+                # no-progress watchdog into a pointless re-exec
+                log(f"[bench:{name}] ground truth batch {i + 1}/{anb}")
+            a_gt = np.concatenate(gt_parts)
+            del xs, gt_parts
             _check("ground_truth")
 
             acfg = HNSWConfig(dims=ad, metric=a_metric, ef_search=ef0,
@@ -1130,17 +1136,32 @@ def main():
                 GN = int(os.environ.get("VSS_BENCH_GIST_N", 1_000_000))
                 GD = 960
                 jax.clear_caches()
-                rng_g = np.random.default_rng(3)
+                # generated ON DEVICE: the 3.84 GB corpus upload is not
+                # just ~5 s of budget — single multi-GB transfers WEDGE
+                # the relay (two 420 s no-progress kills in the round-5
+                # trial, both inside jnp.asarray of this corpus); the
+                # builder accepts device arrays without a host round
+                # trip. Deterministic via PRNGKey(3).
+                kc, ka, kn, kq1, kq2 = jax.random.split(
+                    jax.random.PRNGKey(3), 5
+                )
                 n_cent = max(64, GN // 2000)
-                g_cent = rng_g.uniform(0, 1, (n_cent, GD))
-                gi = rng_g.integers(0, n_cent, GN)
-                gist_v = np.abs(
-                    g_cent[gi] + rng_g.normal(0, 0.12, (GN, GD))
-                ).astype(np.float32)
-                gq_i = rng_g.integers(0, n_cent, 2 * QBATCH)
-                gist_q = np.abs(
-                    g_cent[gq_i] + rng_g.normal(0, 0.12, (2 * QBATCH, GD))
-                ).astype(np.float32)
+                g_cent = jax.random.uniform(kc, (n_cent, GD), jnp.float32)
+                gi = jax.random.randint(ka, (GN,), 0, n_cent)
+                gist_v = jnp.abs(
+                    g_cent[gi]
+                    + 0.12 * jax.random.normal(kn, (GN, GD), jnp.float32)
+                )
+                gq_i = jax.random.randint(kq1, (2 * QBATCH,), 0, n_cent)
+                gist_q = jnp.abs(
+                    g_cent[gq_i]
+                    + 0.12 * jax.random.normal(
+                        kq2, (2 * QBATCH, GD), jnp.float32
+                    )
+                )
+                jax.block_until_ready(gist_v)
+                log(f"[bench:gist] corpus generated on device "
+                    f"({GN}x{GD})")
                 out["gist_960d"] = run_arm(
                     "gist", gist_v, gist_q, "cosine", EF, deadline=dl
                 )

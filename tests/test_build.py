@@ -76,3 +76,26 @@ def test_wave_sizes_equivalent_quality(rng):
         sd, si = hnsw_search(graph, cfg, q, k=k, ef=64)
         r = recall(np.asarray(si), np.asarray(bi))
         assert r >= 0.90, f"wave={wave} recall {r}"
+
+
+def test_build_accepts_device_arrays(rng):
+    """Round-5: a device-resident corpus builds without a host round
+    trip (multi-GB transfers wedge the relay; the bench's 960-d arm
+    generates on device) and matches the host-array build exactly."""
+    import jax.numpy as jnp
+
+    from vss_tpu.index import HNSWConfig
+    from vss_tpu.index.dense import HNSWIndex
+
+    vecs = rng.uniform(0, 255, (3000, 16)).astype(np.float32)
+    cfg = HNSWConfig(dims=16, storage_dtype="int8")
+    a = HNSWIndex.build(vecs, cfg, method="exact", seed=0)
+    b = HNSWIndex.build(jnp.asarray(vecs), cfg, method="exact", seed=0)
+    assert abs(a.vector_scale - b.vector_scale) < 1e-7
+    np.testing.assert_array_equal(
+        np.asarray(a.graph.vectors), np.asarray(b.graph.vectors)
+    )
+    q = vecs[:16] + 0.25
+    _, ra = a.search(q, k=5)
+    _, rb = b.search(q, k=5)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))

@@ -151,7 +151,17 @@ class HNSWIndex:
         (nondeterministic interleaving, like the reference's parallel
         build).
         """
-        vectors = np.asarray(vectors, np.float32)
+        # device arrays pass through UNTOUCHED to the exact builder: a
+        # multi-GB host round-trip through the relay is not just slow —
+        # single transfers past ~1 GB wedge it outright (round-5 GIST-1M
+        # GT hung >7 min in jnp.asarray of the 3.84 GB corpus). Callers
+        # with device-generated corpora (the bench's 960-d arm) never
+        # touch the host.
+        on_device = isinstance(vectors, jax.Array)
+        if not on_device:
+            vectors = np.asarray(vectors, np.float32)
+        elif vectors.dtype != jnp.float32:
+            vectors = vectors.astype(jnp.float32)
         n = vectors.shape[0]
         idx = cls(config, capacity=64)
         if n == 0:
@@ -163,7 +173,10 @@ class HNSWIndex:
         if config.storage_dtype == "int8":
             # graph-internal values live in scaled units; the scale maps
             # them back for user-visible distances
-            idx.scale_max_abs = float(np.abs(vectors).max())
+            idx.scale_max_abs = float(
+                jnp.max(jnp.abs(vectors)) if on_device
+                else np.abs(vectors).max()
+            )
             idx.vector_scale = idx.scale_max_abs / 127.0 or 1.0
             vectors = vectors / idx.vector_scale
         native_threads = 0
@@ -174,6 +187,9 @@ class HNSWIndex:
                 method, native_threads = "native", 1  # deterministic
             else:
                 method = "exact"
+        if on_device and method != "exact":
+            # wave/native builders index host arrays per wave
+            vectors = np.asarray(vectors, np.float32)
         if method == "native":
             from vss_tpu.index.native import build_graph_native
 

@@ -584,7 +584,11 @@ def build_graph_exact(
     VSS_CAND_MODE overrides). Upper levels are geometrically small and
     always use the exact pass.
     """
-    vectors = np.asarray(vectors, np.float32)
+    # device arrays stay on device (multi-GB host round-trips wedge the
+    # relay — see HNSWIndex.build); everything host-side below only
+    # needs n and the level sample
+    if not isinstance(vectors, jax.Array):
+        vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
     assert d == config.dims
     levels = sample_levels(n, config, seed)
