@@ -170,6 +170,7 @@ class HNSWIndex:
             rowids = np.arange(n, dtype=np.int64)
         rowids = np.asarray(rowids)
         check_rowids_int32(rowids)
+        scale = 1.0
         if config.storage_dtype == "int8":
             # graph-internal values live in scaled units; the scale maps
             # them back for user-visible distances
@@ -178,7 +179,7 @@ class HNSWIndex:
                 else np.abs(vectors).max()
             )
             idx.vector_scale = idx.scale_max_abs / 127.0 or 1.0
-            vectors = vectors / idx.vector_scale
+            scale = idx.vector_scale
         native_threads = 0
         if method == "auto":
             from vss_tpu.index.native import native_available
@@ -187,9 +188,12 @@ class HNSWIndex:
                 method, native_threads = "native", 1  # deterministic
             else:
                 method = "exact"
-        if on_device and method != "exact":
-            # wave/native builders index host arrays per wave
+        if method != "exact":
+            # wave/native builders index host arrays per wave and take
+            # pre-scaled values
             vectors = np.asarray(vectors, np.float32)
+            if scale != 1.0:
+                vectors = vectors / scale
         if method == "native":
             from vss_tpu.index.native import build_graph_native
 
@@ -204,10 +208,13 @@ class HNSWIndex:
             # device copy the builder already uploaded — a second ~0.5 GB
             # host->device transfer through the relay cost ~38 s of the
             # 1M warm build (the round-3 "post-build tail" regression)
+            # vectors go UNSCALED with prescale: the divide fuses into
+            # the tape cast on device (no scaled f32 copy — HBM headroom
+            # for corpus-scale builds, see build_graph_exact)
             graph, upper_used, rtape = build_graph_exact(
                 vectors, config, seed=seed,
                 rowids=rowids.astype(np.int32), progress=progress,
-                want_rerank=True,
+                want_rerank=True, prescale=scale,
             )
             idx.graph = graph
             idx.upper_used = upper_used

@@ -564,6 +564,7 @@ def build_graph_exact(
     backlink_chunk: int = 4096,
     candidate_mode: str = "auto",
     want_rerank: bool = False,
+    prescale: float = 1.0,
     progress: Optional[Callable[[int, int], None]] = None,
 ):
     """Bulk-build an HNSW graph from exact kNN candidate lists.
@@ -620,11 +621,20 @@ def build_graph_exact(
             )
 
     entry_slot = int(np.argmax(levels))
+    # prescale != 1: `vectors` arrives UNSCALED and the divide fuses
+    # into the tape cast — materializing a separate scaled f32 copy was
+    # one of the five near-corpus-size arrays that OOM'd HBM on the
+    # 1M x 960 build (round 5; 16 GB chip)
     xv = jnp.asarray(vectors)
     slots = jnp.arange(n, dtype=jnp.int32)
+    tape_vals = (
+        jax.jit(lambda v: cast_to_tape(v / prescale, config))(xv)
+        if prescale != 1.0
+        else cast_to_tape(xv, config)
+    )
     graph = dataclasses.replace(
         graph,
-        vectors=graph.vectors.at[:n].set(cast_to_tape(xv, config)),
+        vectors=graph.vectors.at[:n].set(tape_vals),
         levels=graph.levels.at[:n].set(jnp.asarray(levels)),
         upper_row=graph.upper_row.at[:n].set(jnp.asarray(urows[:n])),
         valid=graph.valid.at[:n].set(True),
@@ -634,6 +644,7 @@ def build_graph_exact(
         count=jnp.int32(n),
     )
     xv_orig = xv if want_rerank else None
+    del tape_vals
     tape_f32 = graph.vectors.astype(jnp.float32)
     if config.storage_dtype != "f32":
         # refine/backlinks score against what search will see
@@ -793,8 +804,21 @@ def build_graph_exact(
         rr = config.rerank_dtype
         rtape = None
         if rr is not None:
+            # free the f32 scoring tape (and the closures holding it)
+            # BEFORE materializing the side tape — at 1M x 960 the two
+            # cannot coexist with the corpus in 16 GB of HBM
+            del tape_f32, xv
+            try:
+                del _scan_pass  # closure cell pins tape_f32
+            except NameError:
+                pass
             rtape = jnp.zeros((graph.capacity, config.dims), rr)
-            rtape = rtape.at[:n].set(xv_orig.astype(rr))
+            vals = (
+                jax.jit(lambda v: (v / prescale).astype(rr))(xv_orig)
+                if prescale != 1.0
+                else xv_orig.astype(rr)
+            )
+            rtape = rtape.at[:n].set(vals)
             _mark("rerank tape", rtape)
         return graph, next_row, rtape
     return graph, next_row
