@@ -645,10 +645,13 @@ def build_graph_exact(
     )
     xv_orig = xv if want_rerank else None
     del tape_vals
-    tape_f32 = graph.vectors.astype(jnp.float32)
     if config.storage_dtype != "f32":
-        # refine/backlinks score against what search will see
-        xv = tape_f32[:n]
+        # refine/backlinks/candidates score against what search will
+        # see: a dequantized f32 slice. Fused slice+cast, and the
+        # cap-row tape_f32 is built only AFTER the candidate pass (see
+        # below) — during candidates, corpus + int8 tape + this slice +
+        # the IVF permuted tape are already ~11 GB at 1M x 960.
+        xv = jax.jit(lambda t: t[:n].astype(jnp.float32))(graph.vectors)
 
     C0 = candidates or max(2 * config.m0, config.m0 + 8)
 
@@ -681,7 +684,7 @@ def build_graph_exact(
         from vss_tpu.ops.scan import SCAN_K_MAX
 
         tape_n = graph.vectors[:n]
-        tape_norms = jnp.sum(tape_f32[:n] * tape_f32[:n], axis=1)
+        tape_norms = jnp.sum(xv * xv, axis=1)
         return scan_candidates(
             xv, tape_n, jnp.ones((n,), jnp.bool_), tape_norms,
             min(C0, SCAN_K_MAX), config.metric, progress=knn_prog,
@@ -732,6 +735,13 @@ def build_graph_exact(
         )
     _mark(f"candidates ({mode})", cand_i)
     done_units[0] = n
+    # the cap-row f32 scoring tape for refine/backlinks/uppers/repair;
+    # deferred past the candidate pass for HBM headroom (see above).
+    # The candidate slice (and the closure pinning it) is dropped first
+    # so the two never coexist.
+    if config.storage_dtype != "f32":
+        del xv, _scan_pass
+    tape_f32 = graph.vectors.astype(jnp.float32)
     refine_chunk = min(4096, round_up(n, 256))
     A_pad = round_up(n, refine_chunk)
     pad = A_pad - n
@@ -804,14 +814,10 @@ def build_graph_exact(
         rr = config.rerank_dtype
         rtape = None
         if rr is not None:
-            # free the f32 scoring tape (and the closures holding it)
-            # BEFORE materializing the side tape — at 1M x 960 the two
-            # cannot coexist with the corpus in 16 GB of HBM
-            del tape_f32, xv
-            try:
-                del _scan_pass  # closure cell pins tape_f32
-            except NameError:
-                pass
+            # free the f32 scoring tape BEFORE materializing the side
+            # tape — at 1M x 960 the two cannot coexist with the corpus
+            # in 16 GB of HBM
+            del tape_f32
             rtape = jnp.zeros((graph.capacity, config.dims), rr)
             vals = (
                 jax.jit(lambda v: (v / prescale).astype(rr))(xv_orig)

@@ -226,9 +226,22 @@ def ivf_candidates(
     order_pad = np.full(n_sorted, -1, np.int32)
     order_pad[:n] = order
     order_j = jnp.asarray(order_pad)
-    xs = jnp.take(xv, jnp.maximum(order_j, 0), axis=0)
-    xs = jnp.where((order_j >= 0)[:, None], xs, 0.0)
-    win_tape = xs.reshape(W_pad, window, d)
+    from vss_tpu.utils import use_pallas  # TPU detection, test-overridable
+
+    score_bf16 = use_pallas()
+
+    # permute + (on TPU) convert to the bf16 scoring dtype in ONE fused
+    # program: materializing the permuted tape at f32 and then casting
+    # kept ~5.8 GB live at 1M x 960 and OOM'd the 16 GB chip (round 5)
+    @functools.partial(jax.jit, static_argnames=("wp", "win", "bf16"))
+    def _permute(xv, order_j, wp: int, win: int, bf16: bool):
+        xs = jnp.take(xv, jnp.maximum(order_j, 0), axis=0)
+        if bf16:
+            xs = xs.astype(jnp.bfloat16)
+        xs = jnp.where((order_j >= 0)[:, None], xs, 0)
+        return xs.reshape(wp, win, xv.shape[1])
+
+    win_tape = _permute(xv, order_j, W_pad, window, score_bf16)
     gids = jnp.where(
         order_j >= 0,
         jnp.take(jnp.asarray(np.asarray(ids, np.int32)),
@@ -242,7 +255,10 @@ def ivf_candidates(
     # +inf so no real bucket ever probes one
     occ = jnp.sum(gids >= 0, axis=1)
     cnt = jnp.maximum(occ, 1)[:, None]
-    cents = jnp.sum(win_tape, axis=1) / cnt
+    # f32 accumulation: win_tape may be bf16 on TPU (bucket ranking only
+    # needs centroid ordering, but bf16 accumulation over 256 rows is
+    # needlessly sloppy)
+    cents = jnp.sum(win_tape, axis=1, dtype=jnp.float32) / cnt
     cd = jnp.sum(cents * cents, axis=1)
     dots = cents @ cents.T
     dmat = cd[:, None] + cd[None, :] - 2.0 * dots
@@ -254,19 +270,10 @@ def ivf_candidates(
         progress(max(n // 4, 1), n)
 
     # 4. blocked scoring: G buckets per dispatch (G*window-query tiles)
-    from vss_tpu.utils import use_pallas  # TPU detection, test-overridable
-
     G = min(8, W_pad)
     approx = use_pallas() and C <= (probes * window) // 8
-    # bf16 scoring tape on TPU: the pass is HBM-bound on the probe-bucket
-    # gather + the [G, window, K] distance matrix; candidate ordering is
-    # all that survives (refine/backlinks re-score at f32) — same trade as
-    # exact_build._knn_all(dist_bf16=True). win_tape stays f32 above so
-    # the centroid sums (step 3) keep full precision.
-    score_bf16 = use_pallas()
     sd, si = _score_groups(
-        win_tape.astype(jnp.bfloat16) if score_bf16 else win_tape,
-        gids, nbr, C, metric.value, G, window, probes, approx,
+        win_tape, gids, nbr, C, metric.value, G, window, probes, approx,
         score_bf16=score_bf16,
     )
     _mark("score", sd, si)
