@@ -645,13 +645,21 @@ def build_graph_exact(
     )
     xv_orig = xv if want_rerank else None
     del tape_vals
-    if config.storage_dtype != "f32":
+    quantized = config.storage_dtype != "f32"
+    if quantized:
         # refine/backlinks/candidates score against what search will
-        # see: a dequantized f32 slice. Fused slice+cast, and the
-        # cap-row tape_f32 is built only AFTER the candidate pass (see
-        # below) — during candidates, corpus + int8 tape + this slice +
-        # the IVF permuted tape are already ~11 GB at 1M x 960.
-        xv = jax.jit(lambda t: t[:n].astype(jnp.float32))(graph.vectors)
+        # see: the stored (quantized) values. The f32 form of them is
+        # materialized LAZILY and per-phase — at 1M x 960 the corpus,
+        # tape, f32 scoring slice, and IVF permuted tape cannot all
+        # coexist in 16 GB of HBM (round-5 OOMs), so the IVF pass reads
+        # the storage tape directly and only the scan/sample phases pay
+        # for a dequantized slice.
+        xv = None
+
+    def _xv_scoring():
+        if not quantized:
+            return xv
+        return jax.jit(lambda t: t[:n].astype(jnp.float32))(graph.vectors)
 
     C0 = candidates or max(2 * config.m0, config.m0 + 8)
 
@@ -683,10 +691,11 @@ def build_graph_exact(
     def _scan_pass():
         from vss_tpu.ops.scan import SCAN_K_MAX
 
+        xvs = _xv_scoring()
         tape_n = graph.vectors[:n]
-        tape_norms = jnp.sum(xv * xv, axis=1)
+        tape_norms = jnp.sum(xvs * xvs, axis=1)
         return scan_candidates(
-            xv, tape_n, jnp.ones((n,), jnp.bool_), tape_norms,
+            xvs, tape_n, jnp.ones((n,), jnp.bool_), tape_norms,
             min(C0, SCAN_K_MAX), config.metric, progress=knn_prog,
         )
 
@@ -695,8 +704,12 @@ def build_graph_exact(
     elif mode in ("ivf", "hybrid"):
         from vss_tpu.index.ivf_candidates import ivf_candidates
 
+        # the STORAGE tape feeds IVF directly: only candidate ordering
+        # survives this pass, and the int8 rows keep its permuted
+        # scoring tape (and all transients) at 1/4 the f32 footprint
         cand_d, cand_i = ivf_candidates(
-            xv, slots, C0, config.metric, seed=seed + 1, progress=knn_prog,
+            graph.vectors[:n] if quantized else xv,
+            slots, C0, config.metric, seed=seed + 1, progress=knn_prog,
         )
         # IVF lists are locality-dependent: on flat (iid-like) data the
         # probed pool misses the true neighbors and the graph collapses
@@ -708,7 +721,7 @@ def build_graph_exact(
             from vss_tpu.index.nn_descent import sampled_list_recall
 
             rec, _, _ = sampled_list_recall(
-                xv, cand_i, config.metric, seed=seed + 2
+                _xv_scoring(), cand_i, config.metric, seed=seed + 2
             )
             _mark(f"ivf sampled recall@10={rec:.3f}")
             # bar at 0.60: clustered corpora sample ~0.8 (and those
@@ -723,24 +736,25 @@ def build_graph_exact(
             from vss_tpu.index.nn_descent import nn_descent_refine
 
             cand_d, cand_i = nn_descent_refine(
-                xv, cand_d, cand_i, config.metric,
+                _xv_scoring(), cand_d, cand_i, config.metric,
                 max_rounds=int(os.environ.get("VSS_NND_ROUNDS", "6")),
                 seed=seed + 2,
             )
             _mark("nn-descent", cand_i)
     else:
         cand_d, cand_i = exact_knn(
-            xv, slots, C0, config.metric, block=block, tile=tile,
+            _xv_scoring(), slots, C0, config.metric, block=block, tile=tile,
             progress=knn_prog,
         )
     _mark(f"candidates ({mode})", cand_i)
     done_units[0] = n
     # the cap-row f32 scoring tape for refine/backlinks/uppers/repair;
     # deferred past the candidate pass for HBM headroom (see above).
-    # The candidate slice (and the closure pinning it) is dropped first
-    # so the two never coexist.
-    if config.storage_dtype != "f32":
-        del xv, _scan_pass
+    # Candidate-phase temporaries (and the closures pinning them) drop
+    # first so the two never coexist.
+    del _scan_pass, _xv_scoring
+    if quantized:
+        del xv
     tape_f32 = graph.vectors.astype(jnp.float32)
     refine_chunk = min(4096, round_up(n, 256))
     A_pad = round_up(n, refine_chunk)

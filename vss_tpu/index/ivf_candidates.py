@@ -116,8 +116,13 @@ def _score_groups(
         kid = jnp.take(gids, nb, axis=0).reshape(G, K)         # original ids
         q = jax.lax.dynamic_slice_in_dim(win_tape, w0, G)      # [G, window, d]
         qid = jax.lax.dynamic_slice_in_dim(gids, w0, G)        # [G, window]
+        qc = q if win_tape.dtype == jnp.float32 else q.astype(jnp.bfloat16)
+        kc = (
+            keys if win_tape.dtype == jnp.float32
+            else keys.astype(jnp.bfloat16)
+        )
         dots = jnp.einsum(
-            "gqd,gkd->gqk", q, keys, preferred_element_type=jnp.float32
+            "gqd,gkd->gqk", qc, kc, preferred_element_type=jnp.float32
         )
         qf = q.astype(jnp.float32)
         kf = keys.astype(jnp.float32)
@@ -195,10 +200,15 @@ def ivf_candidates(
     if W <= probes + 1:
         from vss_tpu.index.exact_build import exact_knn
 
+        if vecs.dtype != jnp.float32:  # tiny-corpus fallback only
+            vecs = jnp.asarray(vecs).astype(jnp.float32)
         return exact_knn(vecs, ids, C, metric)
     probes = min(probes, W)
     C = min(C, probes * window - 1)
-    xv = jnp.asarray(vecs, jnp.float32)
+    # the input keeps its dtype: an int8 STORAGE tape flows through at
+    # 1/4 the f32 footprint (only candidate ordering survives this
+    # pass; scoring casts per block)
+    xv = jnp.asarray(vecs)
 
     if progress is not None:
         progress(0, n)
@@ -207,7 +217,7 @@ def ivf_candidates(
     centers = jnp.take(
         xv, jnp.asarray(rng.choice(n, W, replace=False).astype(np.int32)),
         axis=0,
-    )
+    ).astype(jnp.float32)
     chunk = min(4096, round_up(n, 256))
     n_pad = round_up(n, chunk)
     x_pad = xv if n_pad == n else jnp.pad(xv, ((0, n_pad - n), (0, 0)))
@@ -241,7 +251,12 @@ def ivf_candidates(
         xs = jnp.where((order_j >= 0)[:, None], xs, 0)
         return xs.reshape(wp, win, xv.shape[1])
 
-    win_tape = _permute(xv, order_j, W_pad, window, score_bf16)
+    # int8 inputs keep int8 windows (smallest footprint; the scorer
+    # casts per block); f32 inputs convert to bf16 on TPU
+    win_tape = _permute(
+        xv, order_j, W_pad, window,
+        score_bf16 and xv.dtype == jnp.float32,
+    )
     gids = jnp.where(
         order_j >= 0,
         jnp.take(jnp.asarray(np.asarray(ids, np.int32)),
