@@ -720,9 +720,18 @@ def build_graph_exact(
         if mode == "hybrid":
             from vss_tpu.index.nn_descent import sampled_list_recall
 
-            rec, _, _ = sampled_list_recall(
-                _xv_scoring(), cand_i, config.metric, seed=seed + 2
-            )
+            if quantized and scan_ok:
+                # oracle over the storage tape via the chunked scan: the
+                # f32 brute-force oracle pads a second corpus-size copy
+                # and OOM'd the 1M x 960 build (round 5)
+                rec, _, _ = sampled_list_recall(
+                    graph.vectors[:n], cand_i, config.metric,
+                    seed=seed + 2, use_scan=True,
+                )
+            else:
+                rec, _, _ = sampled_list_recall(
+                    _xv_scoring(), cand_i, config.metric, seed=seed + 2
+                )
             _mark(f"ivf sampled recall@10={rec:.3f}")
             # bar at 0.60: clustered corpora sample ~0.8 (and those
             # lists already yield 0.92+ SEARCH recall — the round-2

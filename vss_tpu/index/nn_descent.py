@@ -135,11 +135,18 @@ def sampled_list_recall(
     n_sample: int = 1024,
     k: int = 10,
     seed: int = 0,
+    use_scan: bool = False,
 ) -> tuple[float, np.ndarray, np.ndarray]:
     """recall@k of the candidate LISTS on a node sample, against a
     brute-force oracle over all rows — the adaptive-rounds trigger.
     Returns (recall, sample_ids, oracle_ids) so callers re-check later
-    rounds against the same oracle for free."""
+    rounds against the same oracle for free.
+
+    use_scan: oracle via the chunked storage-native scan instead of the
+    f32 brute force — `xv` may then be a quantized tape, and no second
+    corpus-size f32 copy is materialized (the f32 oracle's padded copy
+    OOM'd the 1M x 960 build on a 16 GB chip; a quantized oracle is
+    exact w.r.t. the same values the candidate lists scored)."""
     from vss_tpu.ops import bruteforce_topk
 
     n = xv.shape[0]
@@ -148,7 +155,17 @@ def sampled_list_recall(
     sample = np.sort(rng.choice(n, n_sample, replace=False)).astype(np.int32)
     q = jnp.take(xv, jnp.asarray(sample), axis=0)
     # k+1 then drop self: the oracle scores every row incl. the query
-    _, ids = bruteforce_topk(q, xv, k + 1, metric)
+    if use_scan:
+        from vss_tpu.ops.scan import scan_topk
+
+        xn = jax.jit(
+            lambda t: jnp.sum(t.astype(jnp.float32) ** 2, axis=1)
+        )(xv)
+        _, ids = scan_topk(
+            q.astype(jnp.float32), xv, k + 1, metric, x_norms=xn
+        )
+    else:
+        _, ids = bruteforce_topk(q, xv, k + 1, metric)
     ids = np.asarray(ids)
     oracle = np.empty((n_sample, k), np.int32)
     for j, s in enumerate(sample):
