@@ -282,13 +282,34 @@ def _refine_forward(adj, vectors, cand_d, cand_i, node_slots, config, cap, chunk
 @functools.partial(jax.jit, static_argnames=("config",))
 def _upper_select(sd, si_local, mslots, tape_f32, config):
     """Map an upper level's subset-local kNN lists to global slots and
-    run the refine heuristic — one program per level (eager op-by-op
-    dispatch through a tunneled device costs ~100ms/op)."""
-    si = jnp.where(
-        si_local >= 0, jnp.take(mslots, jnp.maximum(si_local, 0)), -1
+    run the refine heuristic — traced inside the level pass (eager
+    op-by-op dispatch through a tunneled device costs ~100ms/op).
+    Chunked over members: the [A, C, d] candidate gather inside
+    select_neighbors is 8 GB at A=64k, C=32, d=960 (round-5 HBM OOM)."""
+    A_pad, C = si_local.shape
+
+    def one(args):
+        sd_b, si_b, ms_b = args
+        si = jnp.where(
+            si_b >= 0, jnp.take(mslots, jnp.maximum(si_b, 0)), -1
+        )
+        qv = jnp.take(tape_f32, ms_b, axis=0)
+        return select_neighbors(qv, si, sd_b, tape_f32, config.m,
+                                config.metric)
+
+    sel_chunk = 2048
+    if A_pad <= sel_chunk or A_pad % sel_chunk:
+        return one((sd, si_local, mslots))
+    nb = A_pad // sel_chunk
+    out = jax.lax.map(
+        one,
+        (
+            sd.reshape(nb, sel_chunk, C),
+            si_local.reshape(nb, sel_chunk, C),
+            mslots.reshape(nb, sel_chunk),
+        ),
     )
-    qv = jnp.take(tape_f32, mslots, axis=0)
-    return select_neighbors(qv, si, sd, tape_f32, config.m, config.metric)
+    return out.reshape(A_pad, -1)
 
 
 @functools.partial(
