@@ -177,7 +177,10 @@ def repair_connectivity(
     _mark("reverse adjacency + initial sweeps", reached_d)
     occupied = np.asarray(occupied_d)
     total = 0
-    tape_f32 = graph.vectors.astype(jnp.float32)
+    # gathers cast AFTER the (small) take: a full dequantized f32 tape
+    # here was 3.87 GB on top of the builder's own scoring tape and
+    # OOM'd the 1M x 960 build (round 5); numerics are identical
+    tape = graph.vectors
     last = config.m0 - 1
     spread = min(4, config.m0)
     for _ in range(max_rounds):
@@ -203,10 +206,12 @@ def repair_connectivity(
         anchors[: ridx.size] = ridx
         anchors[ridx.size:] = ridx[0]
         anchors_j = jnp.asarray(anchors)
-        anchor_vecs = jnp.take(tape_f32, anchors_j, axis=0)
+        anchor_vecs = jnp.take(tape, anchors_j, axis=0).astype(jnp.float32)
         near_parts = []
         for s in range(0, bucket, query_chunk):
-            u_vecs = jnp.take(tape_f32, jnp.asarray(up[s : s + query_chunk]), axis=0)
+            u_vecs = jnp.take(
+                tape, jnp.asarray(up[s : s + query_chunk]), axis=0
+            ).astype(jnp.float32)
             # 'default' precision: a bridge only needs a NEAR anchor;
             # bf16 near-tie reorderings are immaterial here and the
             # HIGHEST-precision scan was ~12s of the 1M build profile
