@@ -858,17 +858,21 @@ def build_graph_exact(
         rr = config.rerank_dtype
         rtape = None
         if rr is not None:
-            # free the f32 scoring tape BEFORE materializing the side
-            # tape — at 1M x 960 the two cannot coexist with the corpus
-            # in 16 GB of HBM
+            # free the f32 scoring tape and candidate-phase arrays
+            # BEFORE materializing the side tape — at 1M x 960 they
+            # cannot coexist with the corpus in 16 GB of HBM; the
+            # scale + cast + pad fuse into ONE program so only the
+            # final tape materializes
             del tape_f32
-            rtape = jnp.zeros((graph.capacity, config.dims), rr)
-            vals = (
-                jax.jit(lambda v: (v / prescale).astype(rr))(xv_orig)
-                if prescale != 1.0
-                else xv_orig.astype(rr)
-            )
-            rtape = rtape.at[:n].set(vals)
+            del cand_d, cand_i, cand_d_p, cand_i_p, forward0, slots_p
+            cap_pad = graph.capacity - n
+
+            @jax.jit
+            def _mk_rtape(v):
+                vals = (v / prescale if prescale != 1.0 else v).astype(rr)
+                return jnp.pad(vals, ((0, cap_pad), (0, 0)))
+
+            rtape = _mk_rtape(xv_orig)
             _mark("rerank tape", rtape)
         return graph, next_row, rtape
     return graph, next_row
